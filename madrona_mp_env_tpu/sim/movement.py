@@ -1,0 +1,286 @@
+"""Movement chain: accel/pose -> aim -> collide-and-slide -> fall.
+
+Vectorized over all agents at once; the reference runs these as per-entity
+taskgraph nodes (pvpMovementSystem sim.cpp:2093-2199, pvpContinuousAimSystem
+sim.cpp:2266-2282, pvpDiscreteAimSystem sim.cpp:2284-2334, applyVelocitySystem
+sim.cpp:889-1028, fallSystem sim.cpp:1041-1095). Every sphere cast below is a
+batched sweep against the full triangle soup; the ~8 casts per agent per step
+are the dominant env compute (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import consts
+from ..config import EnvConfig
+from ..assets.map_data import MapData
+from ..ops import geom
+from ..ops.raycast import sphere_cast_vs_tris
+from .types import Actions, Pose, WorldState
+
+INF = jnp.inf
+
+# nonlinear discrete-aim turn tables (sim.cpp:2300-2323)
+_YAW_TURNS = jnp.asarray(
+    [0.0, 0.00390625, 0.0078125, 0.015625, 0.03125, 0.0625, 0.125], jnp.float32
+) * consts.pi
+_PITCH_TURNS = jnp.asarray(
+    [0.0, 0.0078125, 0.015625, 0.03125], jnp.float32
+) * consts.pi
+
+
+def movement_system(cfg: EnvConfig, state: WorldState, actions: Actions):
+    """Deceleration, pose transitions, acceleration, velocity clamp
+    (pvpMovementSystem)."""
+    alive = state.alive > 0.0
+
+    # decelerate
+    v = state.vel
+    v_len = jnp.linalg.norm(v, axis=-1)
+    v_norm = jnp.where(
+        v_len[:, None] > 0.0, v / jnp.maximum(v_len[:, None], 1e-30), 0.0
+    )
+    v_len_d = jnp.maximum(v_len - consts.deaccelerate_rate * consts.delta_t, 0.0)
+    v = v_norm * v_len_d[:, None]
+
+    # pose transition countdown
+    trans = state.stand_transition
+    cur = state.stand_cur
+    tgt = state.stand_tgt
+    ticking = trans > 0
+    trans = jnp.where(ticking, trans - 1, trans)
+    cur = jnp.where(ticking & (trans == 0), tgt, cur)
+
+    # new target pose from action
+    action_pose = actions.stand
+    changed = action_pose != tgt
+    new_tgt = jnp.where(changed, action_pose, tgt)
+    dist = jnp.abs(new_tgt - cur)
+    trans = jnp.where(
+        changed, dist * (consts.pose_transition_speed // 2), trans
+    )
+    tgt = new_tgt
+
+    # acceleration by move bucket
+    accel_max = jnp.where(
+        cur == Pose.Crouch, 100.0, jnp.where(cur == Pose.Prone, 50.0, 3000.0)
+    )
+    move_amount = actions.move_amount.astype(jnp.float32) * (
+        accel_max / (consts.num_move_amount_buckets - 1)
+    )
+    move_angle = actions.move_angle.astype(jnp.float32) * (
+        2.0 * consts.pi / consts.num_move_angle_buckets
+    )
+    f_x = move_amount * jnp.sin(move_angle)
+    f_y = move_amount * jnp.cos(move_angle)
+
+    body_fwd, body_right = geom.body_fwd_right(state.yaw)
+    accel = body_right * f_x[:, None] + body_fwd * f_y[:, None]
+    v = v + accel * consts.delta_t
+
+    respawn_steps = jnp.where(
+        (move_amount != 0.0) & alive, 0, state.respawn_steps
+    )
+
+    # max-velocity ramp + clamp
+    tgt_max = jnp.where(
+        cur == Pose.Stand,
+        jnp.where(
+            actions.move_amount == 2,
+            consts.max_run_velocity,
+            consts.max_walk_velocity,
+        ),
+        jnp.where(
+            cur == Pose.Crouch,
+            consts.max_crouch_velocity,
+            consts.max_prone_velocity,
+        ),
+    )
+    max_vel_adjust = jnp.clip(tgt_max - state.max_vel, -510.0, 510.0)
+
+    v_len2 = jnp.linalg.norm(v, axis=-1)
+    nonzero = v_len2 > 0.0
+    # maxVelocity only updates when velocity is nonzero (early return in ref)
+    max_vel = jnp.where(
+        nonzero & alive, state.max_vel + max_vel_adjust, state.max_vel
+    )
+    v_norm2 = jnp.where(
+        nonzero[:, None], v / jnp.maximum(v_len2[:, None], 1e-30), 0.0
+    )
+    v = v_norm2 * jnp.minimum(v_len2, max_vel)[:, None]
+
+    # dead agents: untouched
+    return state.replace(
+        vel=jnp.where(alive[:, None], v, state.vel),
+        stand_cur=jnp.where(alive, cur, state.stand_cur),
+        stand_tgt=jnp.where(alive, tgt, state.stand_tgt),
+        stand_transition=jnp.where(alive, trans, state.stand_transition),
+        max_vel=jnp.where(alive, max_vel, state.max_vel),
+        respawn_steps=respawn_steps,
+    )
+
+
+def aim_systems(cfg: EnvConfig, state: WorldState, actions: Actions):
+    """Continuous + discrete aim (both run every step in the reference)."""
+    alive = state.alive > 0.0
+
+    yaw = state.yaw + actions.aim_yaw_rate * consts.delta_t
+    pitch = state.pitch + actions.aim_pitch_rate * consts.delta_t
+    yaw, pitch = geom.compute_aim(yaw, pitch)
+
+    yb = actions.aim_yaw - consts.discrete_aim_num_yaw_buckets // 2
+    pb = actions.aim_pitch - consts.discrete_aim_num_pitch_buckets // 2
+    yaw = yaw + jnp.sign(yb) * _YAW_TURNS[jnp.abs(yb)]
+    pitch = pitch + jnp.sign(pb) * _PITCH_TURNS[jnp.abs(pb)]
+    yaw, pitch = geom.compute_aim(yaw, pitch)
+
+    return state.replace(
+        yaw=jnp.where(alive, yaw, state.yaw),
+        pitch=jnp.where(alive, pitch, state.pitch),
+    )
+
+
+def _cast(m: MapData, o, d, r):
+    t, n = sphere_cast_vs_tris(o, d, r, m.tris)
+    return t, n
+
+
+def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState):
+    """Capsule collide-and-slide via sphere casts (applyVelocitySystem,
+    sim.cpp:889-1028). Returns (new_pos, new_vel) committed immediately
+    (updateMoveStateSystem)."""
+    r = consts.agent_radius
+    buf = 0.05 * r
+    up = jnp.array([0.0, 0.0, 1.0])
+
+    x = state.pos
+    v = state.vel * jnp.array([1.0, 1.0, 0.0])
+    v_len = jnp.linalg.norm(v, axis=-1)
+    moving = v_len > 0.0
+    v_norm = jnp.where(moving[:, None], v / jnp.maximum(v_len[:, None], 1e-30), 0.0)
+    move_dist = v_len * consts.delta_t
+
+    cur = state.stand_cur
+    top = jnp.where(
+        cur == Pose.Crouch,
+        consts.crouch_height - r,
+        jnp.where(cur == Pose.Prone, consts.prone_height, consts.stand_height - r),
+    )
+    low = jnp.where(
+        cur == Pose.Prone, consts.prone_height - r + buf, consts.prone_height
+    )
+    is_prone = cur == Pose.Prone
+
+    # slope check: downward cast from top of capsule
+    o_slope = x + up * top[:, None]
+    t_s, n_s = _cast(m, o_slope, -up[None, :] * jnp.ones_like(x), r)
+    slope_block = (
+        (n_s[:, 2] > 0.0)
+        & (n_s[:, 2] < 0.7)
+        & (jnp.einsum("ad,ad->a", n_s, v_norm) < 0.0)
+    )
+
+    # two forward casts (one when prone)
+    o_low = x + v_norm * (buf * 0.5) + up * low[:, None]
+    t_low, n_low = _cast(m, o_low, v_norm, r)
+    o_high = x + v_norm * (buf * 0.5) + up * top[:, None]
+    t_high, n_high = _cast(m, o_high, v_norm, r)
+    t_high = jnp.where(is_prone, t_low, t_high)
+    n_high = jnp.where(is_prone[:, None], n_low, n_high)
+
+    high_closer = t_high < t_low
+    low_dist_raw = jnp.where(high_closer, t_high, t_low)
+    normal = jnp.where(high_closer[:, None], n_high, n_low)
+    high_hit = high_closer
+
+    stuck = (t_low == 0.0) | (t_high == 0.0)
+    low_dist = jnp.maximum(0.0, low_dist_raw - buf)
+    hit_pos = x + v_norm * jnp.minimum(low_dist, move_dist)[:, None]
+
+    # one step of wall sliding
+    slide_needed = move_dist > low_dist
+    slide_dir = jnp.cross(jnp.broadcast_to(up, normal.shape), normal)
+    slide_dir = geom.normalize(slide_dir)
+    flip = jnp.einsum("ad,ad->a", slide_dir, v_norm) < 0.0
+    slide_dir = jnp.where(flip[:, None], -slide_dir, slide_dir)
+    o_slide = x + v_norm * low_dist[:, None] + up * jnp.where(
+        high_hit, top, low
+    )[:, None]
+    t_slide, _ = _cast(m, o_slide, slide_dir, r)
+    slide_dist = jnp.maximum(0.0, t_slide - buf)
+    slide_dist = jnp.minimum(slide_dist, jnp.maximum(move_dist - low_dist, 0.0))
+    hit_pos = jnp.where(
+        (slide_needed & (slide_dist > 0.0))[:, None],
+        hit_pos + slide_dir * slide_dist[:, None],
+        hit_pos,
+    )
+
+    # ground snap under final position
+    gc_pos = hit_pos + up * top[:, None]
+    t_ground, _ = _cast(m, gc_pos, -up[None, :] * jnp.ones_like(x), r)
+    no_ground = jnp.isinf(t_ground)
+
+    # unstick: cast from 4 rotated directions (sim.cpp:984-1012)
+    need_unstick = (t_ground <= 0.0) | stuck
+    dirs = jnp.stack(
+        [geom.rotate_z(v_norm, k * consts.pi * 0.5) for k in range(4)], axis=1
+    )  # [A, 4, 3]
+    o_un = x[:, None, :] - dirs * (2.0 * r) + up * low[:, None, None]
+    t_un, _ = sphere_cast_vs_tris(o_un, dirs, r, m.tris)
+    # in the reference, a miss returns FLT_MAX which counts as the furthest
+    # hit; emulate by treating inf as a huge value
+    t_un_val = jnp.where(jnp.isinf(t_un), 3.0e38, t_un)
+    furthest = jnp.max(t_un_val, axis=1)
+    best_dir_idx = jnp.argmax(t_un_val, axis=1)
+    best_dir = jnp.take_along_axis(dirs, best_dir_idx[:, None, None], axis=1)[
+        :, 0, :
+    ]
+    any_dir = furthest > 0.0
+    un_step = jnp.minimum(furthest - 2.0 * r, -buf)
+    un_pos = x + best_dir * un_step[:, None]
+    un_gc = un_pos + up * top[:, None]
+    t_ground_un, _ = _cast(m, un_gc, -up[None, :] * jnp.ones_like(x), r)
+
+    hit_pos = jnp.where((need_unstick & any_dir)[:, None], un_pos, hit_pos)
+    gc_pos = jnp.where((need_unstick & any_dir)[:, None], un_gc, gc_pos)
+    t_ground = jnp.where(need_unstick & any_dir, t_ground_un, t_ground)
+    no_ground = jnp.isinf(t_ground)
+
+    # final position: stay top-of-capsule above ground, fall system drops us
+    fall_dist = jnp.minimum(t_ground, top) + r
+    new_pos = gc_pos - up * fall_dist[:, None]
+
+    to_new = new_pos - x
+    to_new_dist = jnp.linalg.norm(to_new, axis=-1)
+    valid_move = to_new_dist > 0.0
+
+    no_move = (~moving) | slope_block | no_ground | (~valid_move)
+    out_pos = jnp.where(no_move[:, None], x, new_pos)
+    out_vel = jnp.where(no_move[:, None], 0.0, to_new / consts.delta_t)
+    # the reference zeroes velocity in all early-return paths (newVelocity
+    # starts at zero, applyVelocity commits it unconditionally)
+    return state.replace(pos=out_pos, vel=out_vel)
+
+
+def fall_system(cfg: EnvConfig, m: MapData, state: WorldState):
+    """Gravity-limited ground snap (fallSystem, sim.cpp:1041-1095)."""
+    r = consts.agent_radius
+    cast_offset = r
+    up = jnp.array([0.0, 0.0, 1.0])
+
+    o = state.pos + up * (r + cast_offset)
+    t_ground, _ = _cast(m, o, -up[None, :] * jnp.ones_like(state.pos), r)
+
+    no_fall = jnp.isinf(t_ground) | (t_ground < cast_offset)
+    fall_dist = jnp.minimum(
+        t_ground - cast_offset, consts.fall_rate * consts.delta_t
+    )
+    new_pos = state.pos - up * fall_dist[:, None]
+
+    alive = state.alive > 0.0
+    keep = no_fall | (~alive)
+    return state.replace(
+        pos=jnp.where(keep[:, None], state.pos, new_pos)
+    )

@@ -1,0 +1,525 @@
+"""Observation tail: LOS visibility, opponent masks, egocentric obs, lidar.
+
+Re-implements opponentsWriteVisibilitySystem (reference src/sim.cpp:2526-2560,
+isAgentVisible in src/utils.cpp:186-271), pvpOpponentMasksSystem
+(sim.cpp:2562-2614), pvpObservationsSystem (sim.cpp:2645-3052), and
+pvpLidarSystem (sim.cpp:3324-3506) as batched tensor ops. All LOS + lidar
+rays for the whole world are evaluated in a handful of fused sweeps.
+
+Observation dict keys match the reference trainInterface
+(mgr.cpp:2383-2430) so a reference policy maps over 1:1.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from .. import consts
+from ..config import EnvConfig, Task
+from ..assets.map_data import MapData
+from ..ops import geom
+from ..ops.raycast import ray_vs_capsules, ray_vs_tris
+from .combat import view_height
+from .types import WorldState, SELF_OB_DIM, OTHER_OB_DIM
+
+INF = jnp.inf
+
+# frustum constants (Sim::Sim, sim.cpp:5869-5882): 90 deg fov, 16:9
+_F = 1.0  # 1/tan(45deg)
+_ASPECT = 16.0 / 9.0
+_WX, _WY = (lambda v: (v[0], v[1]))(
+    (lambda x, y: (x / math.hypot(x, y), y / math.hypot(x, y)))(_F / _ASPECT, 1.0)
+)
+_HX, _HY = (lambda x, y: (x / math.hypot(x, y), y / math.hypot(x, y)))(_F, 1.0)
+
+
+def _trace_world_and_agents(m: MapData, o, d, pos, alive_mask, self_idx=None):
+    """Shared ray query: (t, hit_agent) vs world tris + alive agent capsules.
+    hit_agent = -1 for wall; t = inf on miss. o/d: [..., 3]."""
+    t_world = ray_vs_tris(o, d, m.tris)
+    t_caps = ray_vs_capsules(
+        o,
+        d,
+        pos,
+        consts.agent_radius,
+        consts.stand_height - 2.0 * consts.agent_radius,
+        alive_mask,
+    )  # [..., A]
+    if self_idx is not None:
+        A = pos.shape[0]
+        t_caps = jnp.where(
+            self_idx[..., None] == jnp.arange(A), INF, t_caps
+        )
+    t_cap = jnp.min(t_caps, axis=-1)
+    cap_idx = jnp.argmin(t_caps, axis=-1)
+    cap_first = t_cap < t_world
+    t = jnp.minimum(t_world, t_cap)
+    hit_agent = jnp.where(cap_first, cap_idx, -1)
+    return t, hit_agent
+
+
+def visibility_system(cfg: EnvConfig, m: MapData, state: WorldState):
+    """can_see[a, o_slot]: agent a sees opponent slot o_slot.
+
+    4 sample points per target (bottom, eye, eye±0.9r along the viewer's aim
+    right axis), each needing view-frustum containment + an unobstructed ray
+    whose first hit is the target (isAgentVisible, utils.cpp:186-271).
+    """
+    A = cfg.num_agents
+    ts = cfg.team_size
+    teams = jnp.arange(A, dtype=jnp.int32) // ts
+    # opponent index table: opp_idx[a, j] = j-th opponent of agent a
+    opp_idx = (1 - teams[:, None]) * ts + jnp.arange(ts)[None, :]  # [A, ts]
+
+    eye = state.pos + jnp.stack(
+        [jnp.zeros((A,)), jnp.zeros((A,)), view_height(state.stand_cur)],
+        axis=-1,
+    )
+    fwd, right, up = geom.aim_vectors(state.yaw, state.pitch)
+
+    # sample points on each target [A, 4, 3]
+    tgt_vh = view_height(state.stand_cur)
+    bottom = state.pos + jnp.array([0.0, 0.0, 1.0]) * consts.agent_radius
+    top = state.pos + jnp.stack(
+        [jnp.zeros((A,)), jnp.zeros((A,)), tgt_vh], axis=-1
+    )
+
+    # viewer-dependent left/right samples: delta along the VIEWER's aim right
+    delta_r = right * (0.9 * consts.agent_radius)  # [A, 3] per viewer
+
+    # build [A, ts, 4, 3] sample points: target gathered by opp_idx
+    t_bottom = bottom[opp_idx]  # [A, ts, 3]
+    t_top = top[opp_idx]
+    samples = jnp.stack(
+        [
+            t_bottom,
+            t_top,
+            t_top - delta_r[:, None, :],
+            t_top + delta_r[:, None, :],
+        ],
+        axis=2,
+    )  # [A, ts, 4, 3]
+
+    to_s = samples - eye[:, None, None, :]
+    # view space components
+    vx = jnp.einsum("atsd,ad->ats", to_s, right)
+    vy = jnp.einsum("atsd,ad->ats", to_s, fwd)
+    vz = jnp.einsum("atsd,ad->ats", to_s, up)
+
+    in_front = vy > 0.0
+    in_frustum = (
+        (vy * _WY - jnp.abs(vx) * _WX > -consts.agent_radius)
+        & (vy * _HY - jnp.abs(vz) * _HX > -consts.agent_radius)
+    )
+    dist = jnp.linalg.norm(to_s, axis=-1)
+    far_enough = dist >= consts.agent_radius
+
+    ray_d = to_s / jnp.maximum(dist[..., None], 1e-30)
+    o = jnp.broadcast_to(eye[:, None, None, :], ray_d.shape)
+    self_idx = jnp.broadcast_to(
+        jnp.arange(A)[:, None, None], ray_d.shape[:-1]
+    )
+    t_hit, hit_agent = _trace_world_and_agents(
+        m, o, ray_d, state.pos, state.alive > 0.0, self_idx
+    )
+    ray_ok = hit_agent == opp_idx[:, :, None]
+
+    sample_visible = in_front & in_frustum & far_enough & ray_ok
+    can_see = jnp.any(sample_visible, axis=-1)  # [A, ts]
+
+    viewer_alive = (state.alive > 0.0)[:, None]
+    target_alive = (state.alive > 0.0)[opp_idx]
+    can_see = can_see & viewer_alive & target_alive
+    return can_see, opp_idx
+
+
+def opponent_masks_system(cfg: EnvConfig, state: WorldState, can_see, opp_idx):
+    """pvpOpponentMasksSystem (sim.cpp:2562-2614): team-shared knowledge =
+    any teammate sees the opponent, or the opponent fired recently."""
+    A = cfg.num_agents
+    ts = cfg.team_size
+    teams = jnp.arange(A, dtype=jnp.int32) // ts
+
+    # OR over each team's members: can_see is [A, ts] with aligned opponent
+    # slots within a team.
+    team_any = jnp.zeros((2, ts), bool).at[teams].max(can_see)  # [2, ts]
+    shared = team_any[teams]  # [A, ts]
+
+    opp_fired = (state.fired_shot_t >= 0.0)[opp_idx]  # [A, ts]
+
+    alive_self = (state.alive > 0.0)[:, None]
+    opp_alive = (state.alive > 0.0)[opp_idx]
+    masks = (shared | opp_fired) & alive_self & opp_alive
+    return masks.astype(jnp.float32)
+
+
+def _normalized_pos(m: MapData, p):
+    rng = m.world_max - m.world_min
+    return jnp.clip((p - m.world_min) / rng, 0.0, 1.0)
+
+
+def _stand_obs(state: WorldState):
+    cur = jax.nn.one_hot(state.stand_cur, 3)
+    tgt = jax.nn.one_hot(state.stand_tgt, 3)
+    trans = (
+        state.stand_transition.astype(jnp.float32)
+        / consts.pose_transition_speed
+    )
+    return jnp.concatenate([cur, tgt, trans[:, None]], axis=-1)  # [A, 7]
+
+
+def _common_ob(cfg: EnvConfig, m: MapData, state: WorldState, observer_yaw):
+    """PlayerCommonObservation [A, 23] for every agent, with velocities in
+    each OBSERVER's body frame -> returns [A_obs, A_tgt, 23]."""
+    A = cfg.num_agents
+    alive = state.alive > 0.0
+
+    npos = _normalized_pos(m, state.pos)  # [A, 3]
+    facing_yaw = 0.5 * ((state.yaw / consts.pi) + 1.0)
+    facing_pitch = 0.5 * (state.pitch / (0.25 * consts.pi) + 1.0)
+
+    # relative velocity: rotate target vel by -observer_yaw
+    vel = state.vel  # [A, 3]
+    rel_vel = geom.rotate_z(
+        vel[None, :, :], -observer_yaw[:, None]
+    )  # [A_obs, A_tgt, 3]
+
+    stand = _stand_obs(state)  # [A, 7]
+    weapon = jax.nn.one_hot(state.weapon_type, consts.max_num_weapon_types)
+
+    per_target = jnp.concatenate(
+        [
+            jnp.ones((A, 1)),  # isValid
+            alive[:, None].astype(jnp.float32),
+            npos,
+            facing_yaw[:, None],
+            facing_pitch[:, None],
+        ],
+        axis=-1,
+    )  # [A, 7]
+    aim_vel = jnp.stack([state.aim_vel_yaw, state.aim_vel_pitch], axis=-1)
+    tail = jnp.concatenate(
+        [
+            aim_vel,
+            stand,
+            state.in_zone[:, None].astype(jnp.float32),
+            weapon,
+        ],
+        axis=-1,
+    )  # [A, 13]
+
+    ob = jnp.concatenate(
+        [
+            jnp.broadcast_to(per_target[None, :, :], (A, A, 7)),
+            rel_vel,
+            jnp.broadcast_to(tail[None, :, :], (A, A, 13)),
+        ],
+        axis=-1,
+    )  # [A, A, 23]
+
+    # dead targets: zero everything except isValid (fillCommonOb early out)
+    valid_only = jnp.zeros((A, A, 23)).at[..., 0].set(1.0)
+    ob = jnp.where(alive[None, :, None], ob, valid_only)
+    return ob
+
+
+def _rel_ob(cfg: EnvConfig, state: WorldState):
+    """Relative geometry block [A_obs, A_tgt, 5]: toPlayerDist/Yaw/Pitch,
+    relativeFacingYaw/Pitch (fillOtherPlayerCommonOb, sim.cpp:2948-2995)."""
+    A = cfg.num_agents
+    to_other = state.pos[None, :, :] - state.pos[:, None, :]
+    dist = jnp.linalg.norm(to_other, axis=-1)
+    close = dist < 1e-2
+    dirn = to_other / jnp.maximum(dist[..., None], 1e-30)
+    new_yaw, new_pitch = geom.yaw_pitch_to(dirn)
+    yaw_delta = geom.wrap_pi(new_yaw - state.yaw[:, None])
+    pitch_delta = new_pitch - state.pitch[:, None]
+
+    d = jnp.where(close, 0.0, dist)
+    yd = jnp.where(close, 0.0, yaw_delta)
+    pd = jnp.where(close, 0.0, pitch_delta)
+
+    rf_yaw = geom.wrap_pi(state.yaw[None, :] - state.yaw[:, None])
+    rf_pitch = state.pitch[None, :] - state.pitch[:, None]
+
+    return jnp.stack([d, yd, pd, rf_yaw, rf_pitch], axis=-1)
+
+
+def _combat_ob(state: WorldState):
+    """CombatStateObservation [A, 4] (sim.cpp:2776-2791)."""
+    return jnp.stack(
+        [
+            state.hp / 100.0,
+            state.mag_bullets.astype(jnp.float32),
+            state.mag_reloading.astype(jnp.float32),
+            state.autoheal_steps.astype(jnp.float32)
+            / consts.num_out_of_combat_steps_before_autoheal,
+        ],
+        axis=-1,
+    )
+
+
+def _zone_ob(cfg: EnvConfig, m: MapData, state: WorldState):
+    """ZoneObservation [A, 16] (sim.cpp:2800-2874)."""
+    A = cfg.num_agents
+    teams = jnp.arange(A, dtype=jnp.int32) // cfg.team_size
+
+    zc = 0.5 * (m.zone_min[state.zone_cur] + m.zone_max[state.zone_cur])
+    n_center = _normalized_pos(m, zc)
+
+    to_c = zc[None, :] - state.pos
+    dist = jnp.linalg.norm(to_c, axis=-1)
+    close = dist < 1e-2
+    dirn = to_c / jnp.maximum(dist[:, None], 1e-30)
+    ny, npi = geom.yaw_pitch_to(dirn)
+    yd = geom.wrap_pi(ny - state.yaw)
+    pd = npi - state.pitch
+
+    mine = (state.zone_controlling == teams).astype(jnp.float32)
+    enemy = (
+        (state.zone_controlling != -1) & (state.zone_controlling != teams)
+    ).astype(jnp.float32)
+
+    zid = jax.nn.one_hot(state.zone_cur, 4)
+
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(n_center[None, :], (A, 3)),
+            jnp.where(close, 0.0, dist)[:, None],
+            jnp.where(close, 0.0, yd)[:, None],
+            jnp.where(close, 0.0, pd)[:, None],
+            mine[:, None],
+            enemy[:, None],
+            jnp.broadcast_to(
+                state.zone_contested.astype(jnp.float32), (A,)
+            )[:, None],
+            jnp.broadcast_to(
+                state.zone_captured.astype(jnp.float32), (A,)
+            )[:, None],
+            jnp.broadcast_to(
+                state.zone_steps_until_point.astype(jnp.float32)
+                / consts.zone_point_interval,
+                (A,),
+            )[:, None],
+            jnp.broadcast_to(
+                state.zone_steps_remaining.astype(jnp.float32)
+                / consts.num_steps_per_zone,
+                (A,),
+            )[:, None],
+            jnp.broadcast_to(zid[None, :], (A, 4)),
+        ],
+        axis=-1,
+    )
+
+
+def observations_system(
+    cfg: EnvConfig,
+    m: MapData,
+    state: WorldState,
+    can_see,
+    opp_idx,
+    opponent_masks,
+):
+    """pvpObservationsSystem (sim.cpp:2645-3052). Returns (state', obs dict
+    without lidar)."""
+    A = cfg.num_agents
+    ts = cfg.team_size
+    teams = jnp.arange(A, dtype=jnp.int32) // ts
+    alive = state.alive > 0.0
+
+    common = _common_ob(cfg, m, state, state.yaw)  # [A, A, 23]
+    rel = _rel_ob(cfg, state)  # [A, A, 5]
+    combat = _combat_ob(state)  # [A, 4]
+    npos = _normalized_pos(m, state.pos)  # [A, 3]
+
+    # --- self ---
+    self_common = common[jnp.arange(A), jnp.arange(A)]  # [A, 23]
+    if cfg.task != Task.TDM:
+        zone = _zone_ob(cfg, m, state)
+    else:
+        zone = jnp.zeros((A, 16))
+    self_ob = jnp.concatenate([self_common, combat, zone], axis=-1)
+    # dead self: zero everything except isValid
+    self_dead = jnp.zeros_like(self_ob).at[:, 0].set(1.0)
+    self_ob = jnp.where(alive[:, None], self_ob, self_dead)
+    self_pos_ob = jnp.where(alive[:, None], npos, jnp.zeros_like(npos))
+
+    # --- teammates [A, ts-1, 32] ---
+    mate_idx = jnp.argsort(
+        jnp.where(
+            (teams[:, None] == teams[None, :]) & (~jnp.eye(A, dtype=bool)),
+            jnp.arange(A)[None, :],
+            A,
+        ),
+        axis=-1,
+    )[:, : ts - 1]
+    ar = jnp.arange(A)[:, None]
+    mate_ob = jnp.concatenate(
+        [
+            common[ar, mate_idx],
+            rel[ar, mate_idx],
+            combat[mate_idx],
+        ],
+        axis=-1,
+    )
+    mate_alive = alive[mate_idx]
+    mate_dead_fill = jnp.zeros_like(mate_ob).at[..., 0].set(1.0)
+    mate_ob = jnp.where(mate_alive[..., None], mate_ob, mate_dead_fill)
+    mate_pos = jnp.where(
+        mate_alive[..., None], npos[mate_idx], jnp.zeros((A, ts - 1, 3))
+    )
+
+    # --- opponents [A, ts, 32] ---
+    opp_was_hit = state.was_shot_count.astype(jnp.float32)[opp_idx]
+    opp_fired = (state.fired_shot_t >= 0.0).astype(jnp.float32)[opp_idx]
+    has_los = can_see.astype(jnp.float32)
+    knows = opponent_masks  # [A, ts] float
+
+    opp_ob = jnp.concatenate(
+        [
+            common[ar, opp_idx],
+            rel[ar, opp_idx],
+            opp_was_hit[..., None],
+            opp_fired[..., None],
+            has_los[..., None],
+            knows[..., None],
+        ],
+        axis=-1,
+    )
+    opp_alive = alive[opp_idx]
+    opp_dead_fill = jnp.zeros_like(opp_ob).at[..., 0].set(1.0)
+    opp_ob = jnp.where(opp_alive[..., None], opp_ob, opp_dead_fill)
+    opp_pos = jnp.where(
+        opp_alive[..., None], npos[opp_idx], jnp.zeros((A, ts, 3))
+    )
+
+    # --- last-known update (sim.cpp:3010-3051) ---
+    opp_killed = state.was_killed[opp_idx]
+    last_obs = state.last_known_obs
+    last_pos = state.last_known_pos
+    # dead opponent -> cleared; killed this step -> cleared; known -> refresh
+    clear = (~opp_alive) | opp_killed
+    last_obs = jnp.where(clear[..., None], 0.0, last_obs)
+    last_pos = jnp.where(clear[..., None], -1000.0, last_pos)
+    known = (knows > 0.0) & opp_alive
+    last_obs = jnp.where(known[..., None], opp_ob, last_obs)
+    last_pos = jnp.where(known[..., None], opp_pos, last_pos)
+
+    # filters-state observation (sim.cpp:2670-2678)
+    team_matched = (
+        state.cur_step - state.filters_last_all_matched[jnp.clip(teams, 0, 1)]
+        < 5
+    ).astype(jnp.float32)
+
+    state = state.replace(
+        last_known_obs=last_obs,
+        last_known_pos=last_pos,
+        prev_can_see=can_see,
+    )
+
+    obs = {
+        "self": self_ob,
+        "self_pos": self_pos_ob,
+        "teammates": mate_ob,
+        "teammate_positions": mate_pos,
+        "opponents": opp_ob,
+        "opponent_positions": opp_pos,
+        "opponents_last_known": last_obs,
+        "opponent_last_known_positions": last_pos,
+        "opponent_masks": knows,
+        "filters_state": team_matched[:, None],
+        "hp": state.hp[:, None] / 100.0,
+        "magazine": jnp.stack(
+            [
+                state.mag_bullets.astype(jnp.float32),
+                state.mag_reloading.astype(jnp.float32),
+            ],
+            axis=-1,
+        ),
+        "alive": state.alive[:, None],
+        "reward_coefs": state.reward_coefs,
+        # vestigial minimaps (registered + exported but never written by any
+        # system in the reference; see SURVEY.md §2.1)
+        "agent_map": jnp.zeros((A, 16, 16, 4)),
+        "unmasked_agent_map": jnp.zeros((A, 16, 16, 4)),
+    }
+    return state, obs
+
+
+def lidar_system(cfg: EnvConfig, m: MapData, state: WorldState):
+    """pvpLidarSystem (sim.cpp:3324-3506): 2x32 forward fan over 0.75*pi in
+    the aim frame + 2x8 rear fan over -pi in the body frame; each beam
+    returns (depth, isWall, isTeammate, isOpponent)."""
+    A = cfg.num_agents
+    teams = jnp.arange(A, dtype=jnp.int32) // cfg.team_size
+    max_dist = m.max_dist
+
+    fwd_aim, right_aim, _ = geom.aim_vectors(state.yaw, state.pitch)
+    fwd_body, right_body = geom.body_fwd_right(state.yaw)
+
+    top_height = view_height(state.stand_cur) + consts.agent_radius
+    h_range = top_height - 2.0 * consts.agent_radius
+
+    def fan(fwd, right, n_w, n_h, theta_range, theta_offset):
+        idx = jnp.arange(n_w, dtype=jnp.float32)
+        theta = theta_range * (idx / (n_w - 1)) + theta_offset  # [W]
+        x = -jnp.cos(theta)
+        y = jnp.sin(theta)
+        d = (
+            x[None, :, None] * right[:, None, :]
+            + y[None, :, None] * fwd[:, None, :]
+        )
+        d = geom.normalize(d)  # [A, W, 3]
+        hs = jnp.arange(n_h, dtype=jnp.float32) / (n_h - 1)  # [H]
+        z = consts.agent_radius + h_range[:, None] * hs[None, :]  # [A, H]
+        zvec = jnp.stack(
+            [jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1
+        )  # [A, H, 3]
+        o = state.pos[:, None, None, :] + zvec[:, :, None, :]
+        o = jnp.broadcast_to(o, (A, n_h, n_w, 3))
+        db = jnp.broadcast_to(d[:, None, :, :], (A, n_h, n_w, 3))
+        self_idx = jnp.broadcast_to(
+            jnp.arange(A)[:, None, None], (A, n_h, n_w)
+        )
+        t, hit_agent = _trace_world_and_agents(
+            m, o, db, state.pos, state.alive > 0.0, self_idx
+        )
+        hit = ~jnp.isinf(t)
+        depth = jnp.where(hit, jnp.minimum(t, max_dist), -1.0)
+        is_wall = hit & (hit_agent == -1)
+        ha = jnp.clip(hit_agent, 0, A - 1)
+        is_mate = hit & (hit_agent >= 0) & (teams[ha] == teams[:, None, None])
+        is_opp = hit & (hit_agent >= 0) & (~(teams[ha] == teams[:, None, None]))
+        return jnp.stack(
+            [
+                depth,
+                is_wall.astype(jnp.float32),
+                is_mate.astype(jnp.float32),
+                is_opp.astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # [A, H, W, 4]
+
+    fwd_lidar = fan(
+        fwd_aim,
+        right_aim,
+        consts.fwd_lidar_width,
+        consts.fwd_lidar_height,
+        0.75 * consts.pi,
+        0.5 * (1.0 - 0.75) * consts.pi,
+    )
+    rear_lidar = fan(
+        fwd_body,
+        right_body,
+        consts.rear_lidar_width,
+        consts.rear_lidar_height,
+        -consts.pi,
+        0.0,
+    )
+
+    state = state.replace(prev_fwd_depth=fwd_lidar[..., 0])
+    return state, {"fwd_lidar": fwd_lidar, "rear_lidar": rear_lidar}

@@ -1,0 +1,161 @@
+"""One world step: the taskgraph as a function.
+
+Composes the systems in the reference's Step taskgraph order
+(setupStepTasks, reference src/sim.cpp:5342-5842; see SURVEY.md §2.2):
+
+  bot plan -> apply bot actions -> movement -> aim -> collide -> fall
+  -> fire -> damage -> respawn -> autoheal -> zone -> breadcrumbs
+  -> match info (events/filters/snapshot) -> goal regions -> explore
+  -> rewards -> done -> [reset] -> visibility -> masks -> obs -> lidar
+
+All functions take single-world state (leading dim = agents) and are
+vmapped over worlds by the Env.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import consts
+from ..config import EnvConfig, SimFlags, Task
+from ..assets.map_data import MapData
+from ..utils import rng
+from . import bot, breadcrumbs, combat, explore, movement, observations
+from . import reset as reset_mod
+from . import rewards, zones
+from .spawn import spawn_agents
+from .types import Actions, WorldState
+
+
+def step_world(
+    cfg: EnvConfig,
+    m: MapData,
+    state: WorldState,
+    actions: Actions,
+    init_key_data: jax.Array,
+    sim_ctrl: jax.Array,
+    force_reset: jax.Array,
+) -> Tuple[WorldState, Dict[str, jax.Array]]:
+    stepk = rng.step_key(state.episode_key, state.cur_step)
+
+    # 1-2. scripted bot + action overlay
+    bot_acts = bot.plan_bot_actions(
+        cfg, m, state, rng.system_key(stepk, rng.Salt.BOT)
+    )
+    actions = bot.apply_bot_actions(cfg, state, actions, bot_acts)
+
+    # 5. movement chain
+    state = movement.movement_system(cfg, state, actions)
+    state = movement.aim_systems(cfg, state, actions)
+    state = movement.apply_velocity_system(cfg, m, state)
+    state = movement.fall_system(cfg, m, state)
+
+    # 6. combat
+    state, fire_events = combat.fire_system(
+        cfg, m, state, actions, rng.system_key(stepk, rng.Salt.FIRE)
+    )
+
+    # 7. damage / respawn / autoheal
+    state = combat.apply_damage_system(cfg, state)
+    if not cfg.has_flag(SimFlags.NoRespawn):
+        state = spawn_agents(
+            cfg, m, state,
+            rng.system_key(stepk, rng.Salt.SPAWN), is_respawn=True,
+        )
+    state = combat.autoheal_system(cfg, state)
+
+    # 8. zone
+    if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
+        state = zones.zone_system(cfg, m, state)
+
+    # 10. breadcrumbs
+    state = breadcrumbs.breadcrumb_system(cfg, state)
+
+    # 11. match info + analytics filters
+    if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
+        state, new_captured = zones.zone_match_info_system(
+            cfg, m, state, force_reset != 0
+        )
+    else:
+        state, new_captured = zones.tdm_match_info_system(
+            cfg, state, force_reset != 0
+        )
+    state = explore.filters_system(cfg, state, fire_events["shot_victim"])
+
+    # 12. goal regions + explore grid
+    state = explore.goal_regions_system(cfg, m, state)
+    state = explore.explore_visited_system(cfg, state)
+
+    # 13. rewards (+ team + final)
+    state = rewards.reward_system(cfg, m, state)
+
+    # 14. done
+    done = jnp.broadcast_to(
+        state.is_finished.astype(jnp.int32), (cfg.num_agents,)
+    )
+    state = state.replace(done=done)
+
+    # episode result snapshot BEFORE the reset wipes it (exported like the
+    # reference's MatchResult singleton, mgr.cpp:2427)
+    episode_result = {
+        "win_result": state.win_result,
+        "team_kills": state.team_kills,
+        "team_points": state.team_points,
+        "zone_stats": state.zone_stats,
+        "match_finished": state.is_finished,
+    }
+
+    # step outputs the trainer/analytics consume
+    reward_out = state.reward
+    events = {
+        **fire_events,
+        "capture_event": new_captured,
+        "cur_step": state.cur_step,
+    }
+
+    # 15. reset + observations tail
+    state = reset_mod.reset_system(
+        cfg, m, state, init_key_data, sim_ctrl, force_reset
+    )
+
+    can_see, opp_idx = observations.visibility_system(cfg, m, state)
+    masks = observations.opponent_masks_system(cfg, state, can_see, opp_idx)
+    state, obs = observations.observations_system(
+        cfg, m, state, can_see, opp_idx, masks
+    )
+    state, lidar_obs = observations.lidar_system(cfg, m, state)
+    obs.update(lidar_obs)
+
+    outputs = {
+        "obs": obs,
+        "reward": reward_out,
+        "done": done,
+        "episode_result": episode_result,
+        "events": events,
+    }
+    return state, outputs
+
+
+def init_and_observe(
+    cfg: EnvConfig,
+    m: MapData,
+    state: WorldState,
+    init_key_data: jax.Array,
+    sim_ctrl: jax.Array,
+) -> Tuple[WorldState, Dict[str, jax.Array]]:
+    """Init taskgraph (setupInitTasks, sim.cpp:5322-5340): force reset, then
+    the observation tail."""
+    state = reset_mod.reset_system(
+        cfg, m, state, init_key_data, sim_ctrl, jnp.ones((), jnp.int32)
+    )
+    can_see, opp_idx = observations.visibility_system(cfg, m, state)
+    masks = observations.opponent_masks_system(cfg, state, can_see, opp_idx)
+    state, obs = observations.observations_system(
+        cfg, m, state, can_see, opp_idx, masks
+    )
+    state, lidar_obs = observations.lidar_system(cfg, m, state)
+    obs.update(lidar_obs)
+    return state, obs
