@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Headless throughput benchmark.
+
+TPU equivalent of the reference's `headless` executable
+(reference src/headless.cpp:24-128: FPS = num_steps * num_worlds / elapsed).
+Runs the full Zone 6v6 env step (movement + combat + zone + obs + lidar)
+batched over worlds on the default device, and prints ONE JSON line:
+
+    {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
+     "vs_baseline": N / 1e6}
+
+Baseline: BASELINE.md target of 1,000,000 env-steps/s per host.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-worlds", type=int, default=1024)
+    ap.add_argument("--num-steps", type=int, default=64)
+    ap.add_argument("--team-size", type=int, default=6)
+    ap.add_argument("--scene", type=str, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+
+    import madrona_mp_env_tpu as mp
+    from madrona_mp_env_tpu.sim.types import Actions
+
+    scene = args.scene or os.path.join(repo, "data", "simple_map")
+
+    cfg = mp.EnvConfig(
+        task=mp.Task.Zone,
+        team_size=args.team_size,
+        sim_flags=mp.SimFlags.StaggerStarts | mp.SimFlags.RandomFlipTeams,
+    )
+    env = mp.Env(cfg, scene, num_worlds=args.num_worlds, seed=5)
+
+    state, obs = env.reset()
+    A = cfg.num_agents
+    W = args.num_worlds
+
+    sim_ctrl = env.default_sim_ctrl()
+    no_reset = jnp.zeros((W,), jnp.int32)
+    step_fn = env.step_fn()
+
+    # representative actions: agents run & shoot (exercises combat rays)
+    key = jax.random.PRNGKey(0)
+    acts = Actions(
+        move_amount=jax.random.randint(key, (W, A), 0, 3),
+        move_angle=jax.random.randint(key, (W, A), 0, 8),
+        fire=jax.random.randint(key, (W, A), 0, 2),
+        stand=jnp.zeros((W, A), jnp.int32),
+        aim_yaw=jax.random.randint(key, (W, A), 0, 13),
+        aim_pitch=jax.random.randint(key, (W, A), 0, 7),
+        aim_yaw_rate=jnp.zeros((W, A), jnp.float32),
+        aim_pitch_rate=jnp.zeros((W, A), jnp.float32),
+    )
+
+    @jax.jit
+    def run_block(state, n_unused=None):
+        def body(s, _):
+            s, out = step_fn(s, acts, sim_ctrl, no_reset)
+            return s, out["reward"][0, 0]
+        state, _ = jax.lax.scan(body, state, None, length=args.num_steps)
+        return state
+
+    # compile + warmup
+    state = run_block(state)
+    jax.block_until_ready(state.pos)
+
+    t0 = time.perf_counter()
+    state = run_block(state)
+    jax.block_until_ready(state.pos)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = args.num_worlds * args.num_steps / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / 1.0e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

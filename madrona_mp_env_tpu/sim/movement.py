@@ -22,12 +22,15 @@ from .types import Actions, Pose, WorldState
 
 INF = jnp.inf
 
-# nonlinear discrete-aim turn tables (sim.cpp:2300-2323)
-_YAW_TURNS = jnp.asarray(
-    [0.0, 0.00390625, 0.0078125, 0.015625, 0.03125, 0.0625, 0.125], jnp.float32
+# nonlinear discrete-aim turn tables (sim.cpp:2300-2323); numpy at module
+# scope (device constants are created lazily under trace)
+import numpy as _np
+
+_YAW_TURNS = _np.asarray(
+    [0.0, 0.00390625, 0.0078125, 0.015625, 0.03125, 0.0625, 0.125], _np.float32
 ) * consts.pi
-_PITCH_TURNS = jnp.asarray(
-    [0.0, 0.0078125, 0.015625, 0.03125], jnp.float32
+_PITCH_TURNS = _np.asarray(
+    [0.0, 0.0078125, 0.015625, 0.03125], _np.float32
 ) * consts.pi
 
 
@@ -132,8 +135,8 @@ def aim_systems(cfg: EnvConfig, state: WorldState, actions: Actions):
 
     yb = actions.aim_yaw - consts.discrete_aim_num_yaw_buckets // 2
     pb = actions.aim_pitch - consts.discrete_aim_num_pitch_buckets // 2
-    yaw = yaw + jnp.sign(yb) * _YAW_TURNS[jnp.abs(yb)]
-    pitch = pitch + jnp.sign(pb) * _PITCH_TURNS[jnp.abs(pb)]
+    yaw = yaw + jnp.sign(yb) * jnp.asarray(_YAW_TURNS)[jnp.abs(yb)]
+    pitch = pitch + jnp.sign(pb) * jnp.asarray(_PITCH_TURNS)[jnp.abs(pb)]
     yaw, pitch = geom.compute_aim(yaw, pitch)
 
     return state.replace(

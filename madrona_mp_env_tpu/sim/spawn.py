@@ -27,7 +27,10 @@ from .types import Pose, WorldCurriculum, WorldState
 _BIG = 1e18
 
 # Hardcoded spawn table (reference src/utils.cpp:503-543): 3 per side.
-_HARDCODED_SPAWNS = jnp.asarray(
+# numpy at module scope; converted lazily under trace.
+import numpy as _np
+
+_HARDCODED_SPAWNS = _np.asarray(
     [
         [510.0, 179.1, -64.0, -2.05],
         [525.8, 17.1, -64.0, -0.80],
@@ -36,7 +39,7 @@ _HARDCODED_SPAWNS = jnp.asarray(
         [1094.3, 200.1, -56.0, 1.41],
         [1045.8, 416.8, -56.0, 2.37],
     ],
-    jnp.float32,
+    _np.float32,
 )
 
 
@@ -220,7 +223,7 @@ def spawn_agents(
         if hardcoded and not is_respawn:
             base = jnp.where(team == state.team_a, 0, 3)
             idx = jnp.clip(base + (i - team * team_size), 0, 5)
-            row = _HARDCODED_SPAWNS[idx]
+            row = jnp.asarray(_HARDCODED_SPAWNS)[idx]
             pt, yaw = row[0:3], row[3]
 
         # --- spawn bookkeeping (utils.cpp:844-946) ---

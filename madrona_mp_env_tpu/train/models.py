@@ -1,0 +1,243 @@
+"""Network building blocks.
+
+Re-implementations of the madrona_learn model zoo consumed by the reference
+policy (SURVEY.md §2.12): MLP (dense + LayerNorm + LeakyReLU stacks),
+LSTM policy RNN, dense actor/critic heads, and the EntitySelfAttentionNet
+alternative backbone. Written for the MXU: plain dense layers in the compute
+dtype (bf16 on TPU), fp32 layer norms.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .distributions import (
+    AIM_BUCKETS,
+    DISCRETE_BUCKETS,
+    ActorDistributions,
+    DiscreteActionDistributions,
+)
+
+ortho_init = jax.nn.initializers.orthogonal(scale=np.sqrt(2))
+
+
+class LayerNorm(nn.Module):
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        # stats in fp32 for stability, output in compute dtype
+        ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        return ln(x)
+
+
+class MLP(nn.Module):
+    """num_layers x (Dense + LayerNorm + LeakyReLU)."""
+
+    num_channels: int
+    num_layers: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        for i in range(self.num_layers):
+            x = nn.Dense(
+                self.num_channels,
+                use_bias=False,
+                kernel_init=ortho_init,
+                dtype=self.dtype,
+                name=f"dense_{i}",
+            )(x)
+            x = LayerNorm(dtype=self.dtype)(x)
+            x = nn.leaky_relu(x)
+        return x
+
+
+class EmbedBlock(nn.Module):
+    """Dense(no bias) + LayerNorm + LeakyReLU embedding used throughout
+    PrefixCommon (scripts/jax_policy.py:150-233)."""
+
+    num_channels: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.num_channels,
+            use_bias=False,
+            kernel_init=ortho_init,
+            dtype=self.dtype,
+        )(x)
+        x = LayerNorm(dtype=self.dtype)(x)
+        return nn.leaky_relu(x)
+
+
+class LSTMCellState(nn.Module):
+    pass
+
+
+class PolicyLSTM(nn.Module):
+    """Single-layer LSTM(512) + LayerNorm on the output (PolicyRNN,
+    scripts/jax_policy.py:85-128). Hidden state is (c, h) stacked on a
+    leading axis so it lives in rollout state as one array [2, B, H]."""
+
+    hidden_dim: int
+    dtype: jnp.dtype
+
+    def init_state(self, batch_shape) -> jax.Array:
+        return jnp.zeros((2, *batch_shape, self.hidden_dim), jnp.float32)
+
+    @staticmethod
+    def clear_state(rnn_state, should_clear):
+        """Zero hidden state where episodes ended; should_clear: [B]."""
+        mask = should_clear[None, ..., None]
+        return jnp.where(mask, 0.0, rnn_state)
+
+    @nn.compact
+    def __call__(self, rnn_state, x, train=False):
+        cell = nn.OptimizedLSTMCell(
+            self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32
+        )
+        carry = (rnn_state[0].astype(self.dtype), rnn_state[1].astype(self.dtype))
+        new_carry, out = cell(carry, x)
+        out = LayerNorm(dtype=self.dtype)(out)
+        new_state = jnp.stack(
+            [new_carry[0].astype(jnp.float32), new_carry[1].astype(jnp.float32)]
+        )
+        return out, new_state
+
+    def sequence(self, rnn_start_state, dones, xs, train=False):
+        """Run over a [T, B, C] sequence for BPTT, zeroing the hidden state
+        after steps where done=1 (dones: [T, B]); returns outputs [T, B, H].
+
+        The scan re-uses __call__ so parameters are shared with the
+        single-step path.
+        """
+
+        def body(mdl, carry, inp):
+            x_t, done_t = inp
+            out, carry = mdl(carry, x_t, train)
+            carry = PolicyLSTM.clear_state(carry, done_t != 0)
+            return carry, out
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        _, outs = scan(self, rnn_start_state, (xs, dones))
+        return outs
+
+
+class DenseLayerDiscreteActor(nn.Module):
+    """Per-head logits from one dense layer each (madrona_learn
+    DenseLayerDiscreteActor)."""
+
+    buckets: Sequence[int]
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, features):
+        total = sum(self.buckets)
+        flat = nn.Dense(
+            total,
+            use_bias=True,
+            kernel_init=jax.nn.initializers.orthogonal(scale=0.01),
+            bias_init=jax.nn.initializers.zeros,
+            dtype=self.dtype,
+        )(features)
+        flat = flat.astype(jnp.float32)
+        logits = []
+        off = 0
+        for b in self.buckets:
+            logits.append(flat[..., off : off + b])
+            off += b
+        return DiscreteActionDistributions(logits=tuple(logits))
+
+
+class DenseLayerCritic(nn.Module):
+    """Scalar value from one dense layer (madrona_learn DenseLayerCritic)."""
+
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, features):
+        v = nn.Dense(
+            1,
+            use_bias=True,
+            kernel_init=jax.nn.initializers.orthogonal(scale=1.0),
+            dtype=self.dtype,
+        )(features)
+        return v.astype(jnp.float32)[..., 0]
+
+
+class HLGaussCritic(nn.Module):
+    """Histogram-loss Gaussian critic (madrona_learn HLGaussCritic option,
+    scripts/jax_policy.py:431-435): value as a categorical over bins with
+    Gaussian-smeared targets. Exposed for parity; DenseLayerCritic is the
+    default."""
+
+    dtype: jnp.dtype
+    min_bound: float = -200.0
+    max_bound: float = 200.0
+    num_bins: int = 128
+
+    def bin_centers(self):
+        edges = jnp.linspace(self.min_bound, self.max_bound, self.num_bins + 1)
+        return 0.5 * (edges[:-1] + edges[1:])
+
+    @nn.compact
+    def __call__(self, features):
+        logits = nn.Dense(
+            self.num_bins,
+            kernel_init=jax.nn.initializers.orthogonal(scale=0.01),
+            dtype=self.dtype,
+        )(features).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.sum(probs * self.bin_centers(), axis=-1)
+
+
+class EntitySelfAttentionNet(nn.Module):
+    """Attention-over-entities backbone (madrona_learn EntitySelfAttentionNet;
+    alternative to MaxPoolNet, scripts/jax_policy.py:308-313): embed each
+    entity, self-attend across the (<= 2*team_size) entity tokens, mean-pool.
+    """
+
+    num_embed_channels: int
+    num_out_channels: int
+    num_heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, obs, train=False):
+        # tokens: self + flattened lidar summary + each teammate/opponent
+        def tok(x):
+            return EmbedBlock(self.num_embed_channels, self.dtype)(x)
+
+        self_tok = tok(
+            jnp.concatenate(
+                [obs["self"], obs["fwd_lidar"], obs["rear_lidar"]], axis=-1
+            )
+        )[..., None, :]
+        mates = tok(obs["teammates"])
+        opps = tok(obs["opponents"])
+        last = tok(obs["opponents_last_known"])
+        tokens = jnp.concatenate([self_tok, mates, opps, last], axis=-2)
+
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(tokens, tokens)
+        tokens = LayerNorm(dtype=self.dtype)(tokens + attn)
+        pooled = jnp.mean(tokens, axis=-2)
+        return MLP(
+            num_channels=self.num_out_channels, num_layers=2, dtype=self.dtype
+        )(pooled, train)

@@ -1,0 +1,506 @@
+"""Fused actor-learner.
+
+The TPU-native equivalent of madrona_learn's TrainingManager (SURVEY.md
+§2.12): rollout (policy apply + env step in one lax.scan), GAE, and
+recurrent PPO epochs all inside ONE jitted update — the reference's
+per-step XLA<->CUDA custom-call boundary (SURVEY.md §3.1 "device boundary
+#2") does not exist here.
+
+PBT ensemble: E train policies with stacked params; actors are routed to
+policies by a STATIC block permutation (world/team round-robin matchmaking,
+cross-play between ensemble members like the reference's
+cross_play_portion=1.0, jax_train.py:146-156). Static routing keeps the
+whole update free of gathers on the policy axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from .. import consts
+from ..config import EnvConfig
+from ..sim.env import Env
+from ..sim.types import Actions, WorldState
+from . import policy as policy_mod
+from .distributions import ActorDistributions
+from .normalizer import (
+    EMANormalizerState,
+    init_normalizer,
+    normalize_obs,
+    update_normalizer,
+)
+from .policy import ActorCriticNet, clear_rnn_states, init_rnn_states
+from .ppo import PPOConfig, compute_gae, ppo_loss
+
+# observation keys fed to the policy (the rest of the env obs dict is
+# train-time metadata)
+POLICY_OBS_KEYS = (
+    "self",
+    "self_pos",
+    "teammates",
+    "teammate_positions",
+    "opponents",
+    "opponent_positions",
+    "opponents_last_known",
+    "opponent_last_known_positions",
+    "opponent_masks",
+    "fwd_lidar",
+    "rear_lidar",
+    "filters_state",
+    "reward_coefs",
+)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Mirror of the reference TrainConfig (jax_train.py:245-284)."""
+
+    num_worlds: int = 512
+    steps_per_update: int = 40
+    num_bptt_chunks: int = 4
+    lr: float = 1e-4
+    gamma: float = 0.998
+    gae_lambda: float = 0.95
+    ppo: PPOConfig = field(default_factory=PPOConfig)
+    num_train_policies: int = 1  # PBT ensemble size
+    compute_dtype: Any = jnp.float32
+    seed: int = 5
+    metrics_buffer_size: int = 5
+
+    @property
+    def chunk_len(self) -> int:
+        assert self.steps_per_update % self.num_bptt_chunks == 0
+        return self.steps_per_update // self.num_bptt_chunks
+
+
+@struct.dataclass
+class TrainState:
+    params: Any  # stacked [E, ...]
+    opt_state: Any  # stacked [E, ...]
+    normalizer: EMANormalizerState
+    env_state: WorldState  # batched [W, ...]
+    cur_obs: Dict[str, jax.Array]  # block order [E, B/E, ...]
+    rnn_states: jax.Array  # [2, 2, E, B/E, H]
+    key: jax.Array
+    update_idx: jax.Array
+    elo: jax.Array  # [E] per-policy rating
+
+
+def _static_assignment(cfg: EnvConfig, tcfg: TrainConfig):
+    """actor -> policy assignment + block permutation (static numpy).
+
+    (world w, team t) -> policy (2w + t) % E: every pair of ensemble
+    members meets (cross-play), counts are exactly equal when E | 2W.
+    """
+    W, A, ts = tcfg.num_worlds, cfg.num_agents, cfg.team_size
+    E = tcfg.num_train_policies
+    assert (2 * W) % max(E, 1) == 0, "num_train_policies must divide 2*num_worlds"
+    w = np.arange(W)[:, None]
+    team = np.arange(A)[None, :] // ts
+    assign = ((2 * w + team) % E).astype(np.int32)  # [W, A]
+    flat = assign.reshape(-1)
+    perm = np.argsort(flat, kind="stable").astype(np.int32)
+    inv_perm = np.argsort(perm, kind="stable").astype(np.int32)
+    return assign, perm, inv_perm
+
+
+class TrainingManager:
+    """Holds the static pieces (env, model, optimizer, permutations) and
+    exposes pure jitted update functions over TrainState."""
+
+    def __init__(self, cfg: EnvConfig, tcfg: TrainConfig, env: Env):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.env = env
+        self.model = ActorCriticNet(dtype=tcfg.compute_dtype)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(tcfg.ppo.max_grad_norm),
+            optax.adam(tcfg.lr),
+        )
+
+        self.W = tcfg.num_worlds
+        self.A = cfg.num_agents
+        self.B = self.W * self.A
+        self.E = tcfg.num_train_policies
+        self.BE = self.B // self.E
+
+        assign, perm, inv_perm = _static_assignment(cfg, tcfg)
+        self.assignment = jnp.asarray(assign)
+        self.perm = jnp.asarray(perm)
+        self.inv_perm = jnp.asarray(inv_perm)
+
+        # NOTE: donation of the train state would halve peak memory; it is
+        # deliberately off until the update loop owns state lifetimes
+        # (callers still hold references during interactive use/tests).
+        self._update_fn = jax.jit(self._update_impl)
+
+    # -------------------------------------------------- block reshaping
+    def to_blocks(self, x):
+        """[W, A, ...] -> [E, B/E, ...] in policy-block order."""
+        flat = x.reshape((self.B,) + x.shape[2:])
+        return flat[self.perm].reshape((self.E, self.BE) + x.shape[2:])
+
+    def from_blocks(self, x):
+        """[E, B/E, ...] -> [W, A, ...]."""
+        flat = x.reshape((self.B,) + x.shape[2:])
+        return flat[self.inv_perm].reshape((self.W, self.A) + x.shape[2:])
+
+    def _policy_obs(self, obs):
+        return {k: obs[k] for k in POLICY_OBS_KEYS}
+
+    # -------------------------------------------------- init
+    def init(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.tcfg.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        k_param, k_state = jax.random.split(key)
+
+        env_state, obs = self.env.reset(sim_ctrl=jnp.array([0, 1, 1], jnp.int32))
+        pobs = self._policy_obs(obs)
+        obs_blocks = jax.tree_util.tree_map(self.to_blocks, pobs)
+
+        sample_obs = jax.tree_util.tree_map(lambda x: x[0, :2], obs_blocks)
+        sample_rnn = init_rnn_states((2,))
+
+        def init_one(k):
+            return self.model.init(k, sample_rnn, sample_obs, False)["params"]
+
+        params = jax.vmap(init_one)(jax.random.split(k_param, self.E))
+        opt_state = jax.vmap(self.tx.init)(params)
+
+        normalizer = init_normalizer(
+            jax.tree_util.tree_map(lambda x: x[0], obs_blocks)
+        )
+
+        # policy_idx per world is the assignment table (>= 0, so no agent
+        # routes to the scripted bot during training)
+        env_state = env_state.replace(
+            policy_idx=jnp.broadcast_to(self.assignment, (self.W, self.A))
+        )
+
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            normalizer=normalizer,
+            env_state=env_state,
+            cur_obs=obs_blocks,
+            rnn_states=init_rnn_states((self.E, self.BE)),
+            key=k_state,
+            update_idx=jnp.zeros((), jnp.int32),
+            elo=jnp.full((self.E,), 1000.0, jnp.float32),
+        )
+
+    # -------------------------------------------------- policy apply
+    def _apply_blocks(self, params, rnn_states, obs_blocks):
+        """vmap the policy over the ensemble axis.
+        rnn_states: [2, 2, E, BE, H]; obs_blocks leaves: [E, BE, ...]."""
+
+        def one(p, rnn, obs):
+            return self.model.apply({"params": p}, rnn, obs, False)
+
+        rnn_by_e = jnp.moveaxis(rnn_states, 2, 0)  # [E, 2, 2, BE, H]
+        dists, values, new_rnn = jax.vmap(one)(params, rnn_by_e, obs_blocks)
+        return dists, values, jnp.moveaxis(new_rnn, 0, 2)
+
+    # -------------------------------------------------- rollout
+    def _rollout(self, ts: TrainState):
+        tcfg = self.tcfg
+        sim_ctrl = jnp.array([0, 1, 1], jnp.int32)
+        no_reset = jnp.zeros((self.W,), jnp.int32)
+        env_step = self.env.step_fn()
+
+        def step_body(carry, step_key):
+            env_state, obs_blocks, rnn, norm = carry
+
+            norm_obs = normalize_obs(norm, obs_blocks, tcfg.compute_dtype)
+            dists, values, rnn2 = self._apply_blocks(ts.params, rnn, norm_obs)
+            actions, log_probs = dists.sample(step_key)
+
+            # blocks -> env action struct
+            da = self.from_blocks(actions["discrete"])
+            aa = self.from_blocks(actions["aim"])
+            env_actions = Actions(
+                move_amount=da[..., 0],
+                move_angle=da[..., 1],
+                fire=da[..., 2],
+                stand=da[..., 3],
+                aim_yaw=aa[..., 0],
+                aim_pitch=aa[..., 1],
+                aim_yaw_rate=jnp.zeros((self.W, self.A), jnp.float32),
+                aim_pitch_rate=jnp.zeros((self.W, self.A), jnp.float32),
+            )
+
+            env_state, out = env_step(env_state, env_actions, sim_ctrl, no_reset)
+
+            reward_b = self.to_blocks(out["reward"])
+            done_b = self.to_blocks(out["done"])
+            rnn2 = clear_rnn_states(rnn2, done_b != 0)
+
+            next_obs = jax.tree_util.tree_map(
+                self.to_blocks, self._policy_obs(out["obs"])
+            )
+            norm = update_normalizer(norm, obs_blocks)
+
+            outputs = {
+                "obs": norm_obs,
+                "actions": actions,
+                "log_probs": log_probs,
+                "values": values,
+                "rewards": reward_b,
+                "dones": done_b,
+                "win_result": out["episode_result"]["win_result"],
+                "match_finished": out["episode_result"]["match_finished"],
+            }
+            return (env_state, next_obs, rnn2, norm), outputs
+
+        def chunk_body(carry, chunk_keys):
+            rnn_start = carry[2]
+            carry, outs = jax.lax.scan(step_body, carry, chunk_keys)
+            return carry, (rnn_start, outs)
+
+        key, sub = jax.random.split(ts.key)
+        step_keys = jax.random.split(
+            sub, tcfg.num_bptt_chunks * tcfg.chunk_len
+        ).reshape((tcfg.num_bptt_chunks, tcfg.chunk_len) + sub.shape)
+
+        carry0 = (ts.env_state, ts.cur_obs, ts.rnn_states, ts.normalizer)
+        carry, (rnn_starts, outs) = jax.lax.scan(chunk_body, carry0, step_keys)
+        env_state, final_obs, final_rnn, normalizer = carry
+
+        # bootstrap value from the final observation
+        final_norm_obs = normalize_obs(normalizer, final_obs, tcfg.compute_dtype)
+        _, bootstrap_value, _ = self._apply_blocks(
+            ts.params, final_rnn, final_norm_obs
+        )
+
+        ts = ts.replace(
+            env_state=env_state,
+            cur_obs=final_obs,
+            rnn_states=final_rnn,
+            normalizer=normalizer,
+            key=key,
+        )
+        return ts, rnn_starts, outs, bootstrap_value
+
+    # -------------------------------------------------- ppo update
+    def _ppo_update(self, ts: TrainState, rnn_starts, outs, bootstrap_value):
+        tcfg = self.tcfg
+        pcfg = tcfg.ppo
+        K, L, E, BE = (
+            tcfg.num_bptt_chunks,
+            tcfg.chunk_len,
+            self.E,
+            self.BE,
+        )
+
+        # GAE over full T = K*L (merge chunk/time axes)
+        def t_merge(x):
+            return x.reshape((K * L,) + x.shape[2:])
+
+        values = t_merge(outs["values"])  # [T, E, BE]
+        rewards = t_merge(outs["rewards"])
+        dones = t_merge(outs["dones"])
+
+        adv, ret = compute_gae(
+            rewards.reshape(K * L, -1),
+            values.reshape(K * L, -1),
+            dones.reshape(K * L, -1),
+            bootstrap_value.reshape(-1),
+            tcfg.gamma,
+            tcfg.gae_lambda,
+        )
+        adv = adv.reshape(K * L, E, BE).reshape(K, L, E, BE)
+        ret = ret.reshape(K * L, E, BE).reshape(K, L, E, BE)
+
+        # reorganize data as sample units: per policy, (K * BE) sequences of
+        # length L. Leaves -> [E, K*BE, L, ...]
+        def unitize(x):
+            # [K, L, E, BE, ...] -> [E, K*BE, L, ...]
+            x = jnp.moveaxis(x, 2, 0)  # [E, K, L, BE, ...]
+            x = jnp.swapaxes(x, 2, 3)  # [E, K, BE, L, ...]
+            return x.reshape((E, K * BE, L) + x.shape[4:])
+
+        data = {
+            "obs": jax.tree_util.tree_map(unitize, outs["obs"]),
+            "actions": jax.tree_util.tree_map(unitize, outs["actions"]),
+            "log_probs": jax.tree_util.tree_map(unitize, outs["log_probs"]),
+            "values": unitize(outs["values"]),
+            "dones": unitize(outs["dones"]),
+            "adv": unitize(adv),
+            "ret": unitize(ret),
+        }
+        # rnn_starts: [K, 2, 2, E, BE, H] -> [E, K*BE, 2, 2, H]
+        rs = jnp.moveaxis(rnn_starts, 3, 0)  # [E, K, 2, 2, BE, H]
+        rs = jnp.moveaxis(rs, 4, 2)  # [E, K, BE, 2, 2, H]
+        rnn_units = rs.reshape(E, K * BE, 2, 2, policy_mod.RNN_HIDDEN)
+
+        num_units = K * BE
+        assert num_units % pcfg.num_minibatches == 0
+        mb = num_units // pcfg.num_minibatches
+
+        def loss_fn(params, batch):
+            obs_seq = jax.tree_util.tree_map(
+                lambda x: jnp.swapaxes(x, 0, 1), batch["obs"]
+            )  # [L, mb, ...]
+            actions = jax.tree_util.tree_map(
+                lambda x: jnp.swapaxes(x, 0, 1), batch["actions"]
+            )
+            dones_seq = jnp.swapaxes(batch["dones"], 0, 1)
+            rnn_start = jnp.moveaxis(batch["rnn"], 0, 2)  # [2, 2, mb, H]
+
+            new_lp, ent, new_v = self.model.apply(
+                {"params": params},
+                rnn_start,
+                dones_seq,
+                obs_seq,
+                actions,
+                method=ActorCriticNet.sequence,
+            )
+            old_lp = jax.tree_util.tree_map(
+                lambda x: jnp.swapaxes(x, 0, 1), batch["log_probs"]
+            )
+            return ppo_loss(
+                new_lp,
+                ent,
+                new_v,
+                old_lp,
+                jnp.swapaxes(batch["values"], 0, 1),
+                jnp.swapaxes(batch["adv"], 0, 1),
+                jnp.swapaxes(batch["ret"], 0, 1),
+                pcfg,
+            )
+
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+
+        def epoch_body(carry, epoch_key):
+            params, opt_state = carry
+            order = jax.vmap(
+                lambda k: jax.random.permutation(k, num_units)
+            )(jax.random.split(epoch_key, E))  # [E, num_units]
+
+            def mb_body(carry, mb_idx):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(
+                    order, mb_idx * mb, mb, axis=1
+                )  # [E, mb]
+
+                def gather_e(x):
+                    return jax.vmap(lambda d, i: d[i])(x, idx)
+
+                batch = {
+                    "obs": jax.tree_util.tree_map(gather_e, data["obs"]),
+                    "actions": jax.tree_util.tree_map(
+                        gather_e, data["actions"]
+                    ),
+                    "log_probs": jax.tree_util.tree_map(
+                        gather_e, data["log_probs"]
+                    ),
+                    "values": gather_e(data["values"]),
+                    "dones": gather_e(data["dones"]),
+                    "adv": gather_e(data["adv"]),
+                    "ret": gather_e(data["ret"]),
+                    "rnn": gather_e(rnn_units),
+                }
+
+                def update_one(p, os, b):
+                    grads, metrics = grad_fn(p, b)
+                    updates, os = self.tx.update(grads, os, p)
+                    p = optax.apply_updates(p, updates)
+                    return p, os, metrics
+
+                params, opt_state, metrics = jax.vmap(update_one)(
+                    params, opt_state,
+                    jax.tree_util.tree_map(lambda x: x, batch),
+                )
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                mb_body, (params, opt_state), jnp.arange(pcfg.num_minibatches)
+            )
+            return (params, opt_state), metrics
+
+        key, sub = jax.random.split(ts.key)
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch_body,
+            (ts.params, ts.opt_state),
+            jax.random.split(sub, pcfg.num_epochs),
+        )
+
+        metrics = jax.tree_util.tree_map(
+            lambda x: jnp.mean(x, axis=(0, 1)), metrics
+        )  # [E]
+        ts = ts.replace(params=params, opt_state=opt_state, key=key)
+        return ts, metrics
+
+    # -------------------------------------------------- full update
+    def _update_impl(self, ts: TrainState):
+        ts, rnn_starts, outs, bootstrap_value = self._rollout(ts)
+        ts, metrics = self._ppo_update(ts, rnn_starts, outs, bootstrap_value)
+
+        metrics = dict(metrics)
+        metrics["reward_mean"] = jnp.mean(outs["rewards"])
+        metrics["value_mean"] = jnp.mean(outs["values"])
+        finished = outs["match_finished"]
+        metrics["episodes_finished"] = jnp.sum(finished.astype(jnp.int32))
+
+        # per-finished-match ELO bookkeeping between ensemble members
+        # (eval_elo equivalent tracked online from training matches)
+        from .elo import elo_update_masked
+
+        team_policies = self.assignment[:, :: self.cfg.team_size]  # [W, 2]
+        n = finished.size
+        pairs = jnp.broadcast_to(
+            team_policies[None, None], finished.shape + (2,)
+        ).reshape(n, 2)
+        win = outs["win_result"].reshape(n)
+        score_a = jnp.where(win == 0, 1.0, jnp.where(win == 1, 0.0, 0.5))
+        elo = elo_update_masked(
+            ts.elo, pairs, score_a, finished.reshape(n) & (win >= 0)
+        )
+        metrics["elo"] = elo
+
+        ts = ts.replace(update_idx=ts.update_idx + 1, elo=elo)
+        return ts, metrics
+
+    def update_iter(self, ts: TrainState):
+        return self._update_fn(ts)
+
+    # -------------------------------------------------- checkpointing
+    def save_ckpt(self, ts: TrainState, path: str):
+        import orbax.checkpoint as ocp
+        import os
+
+        ckpt = {
+            "params": ts.params,
+            "opt_state": ts.opt_state,
+            "normalizer": ts.normalizer,
+            "update_idx": ts.update_idx,
+            "elo": ts.elo,
+        }
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(
+            os.path.abspath(os.path.join(path, str(int(ts.update_idx)))),
+            ckpt,
+            force=True,
+        )
+
+    def restore_ckpt(self, ts: TrainState, path: str) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        target = {
+            "params": ts.params,
+            "opt_state": ts.opt_state,
+            "normalizer": ts.normalizer,
+            "update_idx": ts.update_idx,
+            "elo": ts.elo,
+        }
+        restored = ckptr.restore(path, item=target)
+        return ts.replace(**restored)
