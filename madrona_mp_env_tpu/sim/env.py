@@ -43,16 +43,28 @@ class Env:
         seed: int = 5,
         map_data: Optional[MapData] = None,
         sharding: Optional[jax.sharding.Sharding] = None,
+        collect_log: bool = False,
+        curriculum_path: Optional[str] = None,
     ):
         self.cfg = cfg
         self.num_worlds = num_worlds
-        self.map_data = (
-            map_data if map_data is not None else load_map(scene_dir, cfg)
-        )
+        if map_data is None:
+            curriculum_snapshots = None
+            if curriculum_path is not None:
+                from ..data.formats import load_curriculum_snapshots
+
+                curriculum_snapshots = load_curriculum_snapshots(
+                    curriculum_path
+                )
+            map_data = load_map(
+                scene_dir, cfg, curriculum_snapshots=curriculum_snapshots
+            )
+        self.map_data = map_data
         self.init_key_data = jax.random.key_data(
             jax.random.PRNGKey(seed)
         ).astype(jnp.uint32)
         self.sharding = sharding
+        self.collect_log = collect_log
 
         cfg_static = cfg
         m = self.map_data
@@ -71,13 +83,16 @@ class Env:
             sim_ctrl: jax.Array,
             force_reset: jax.Array,
         ):
-            f = functools.partial(step_mod.step_world, cfg_static, m)
+            f = functools.partial(
+                step_mod.step_world, cfg_static, m, collect_log=collect_log
+            )
             return jax.vmap(f, in_axes=(0, 0, None, None, 0))(
                 state, actions, self.init_key_data, sim_ctrl, force_reset
             )
 
         self._reset_fn = jax.jit(_reset)
         self._step_fn = jax.jit(_step)
+        self._replay_fn = None
 
     # ------------------------------------------------------------------
     def init_state(self) -> WorldState:
@@ -133,6 +148,35 @@ class Env:
         if force_reset is None:
             force_reset = jnp.zeros((self.num_worlds,), jnp.int32)
         return self._step_fn(state, actions, sim_ctrl, force_reset)
+
+    def replay_step(
+        self,
+        state: WorldState,
+        step_log,
+        sim_ctrl: Optional[jax.Array] = None,
+        force_reset: Optional[jax.Array] = None,
+    ):
+        """Step all worlds from a recorded StepLog pytree (leaves
+        [num_worlds, 12, ...]) instead of simulating — pvpReplaySystem
+        (reference sim.cpp:4794-4843)."""
+        from . import replay as replay_mod
+
+        if self._replay_fn is None:
+            cfg, m, ikd = self.cfg, self.map_data, self.init_key_data
+
+            def _replay(state, log, sim_ctrl, force_reset):
+                f = functools.partial(replay_mod.replay_step_world, cfg, m)
+                return jax.vmap(f, in_axes=(0, 0, None, None, 0))(
+                    state, log, ikd, sim_ctrl, force_reset
+                )
+
+            self._replay_fn = jax.jit(_replay)
+
+        if sim_ctrl is None:
+            sim_ctrl = self.default_sim_ctrl(eval_mode=True)
+        if force_reset is None:
+            force_reset = jnp.zeros((self.num_worlds,), jnp.int32)
+        return self._replay_fn(state, step_log, sim_ctrl, force_reset)
 
     # pure functional accessors for fused training loops -----------------
     def step_fn(self):

@@ -38,6 +38,7 @@ def step_world(
     init_key_data: jax.Array,
     sim_ctrl: jax.Array,
     force_reset: jax.Array,
+    collect_log: bool = False,
 ) -> Tuple[WorldState, Dict[str, jax.Array]]:
     stepk = rng.step_key(state.episode_key, state.cur_step)
 
@@ -70,6 +71,15 @@ def step_world(
     # 8. zone
     if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
         state = zones.zone_system(cfg, m, state)
+
+    # 9. record export (pvpRecordSystem slot, sim.cpp:5557-5563): captures
+    # cur_step BEFORE the match-info increment, exactly like the reference
+    # graph order (record = step 9, matchInfo step++ = step 11)
+    step_log = None
+    if collect_log:
+        from ..data import export as data_export
+
+        step_log = data_export.step_log_export(cfg, state)
 
     # 10. breadcrumbs
     state = breadcrumbs.breadcrumb_system(cfg, state)
@@ -116,6 +126,22 @@ def step_world(
         "cur_step": state.cur_step,
     }
 
+    # optional event-log exports (writePackedStepSnapshot sim.cpp:41-126,
+    # logEvent sites): post match-info, so cur_step here is post-increment;
+    # host side packs the binaries
+    record_out = {}
+    if collect_log:
+        from ..data import export as data_export
+
+        ev = data_export.event_export(cfg, state, fire_events, new_captured)
+        record_out = {
+            "step_log": step_log,
+            "snapshot": data_export.packed_snapshot_export(
+                cfg, state, ev["num_events"], ev["event_mask"]
+            ),
+            "game_events": ev,
+        }
+
     # 15. reset + observations tail
     state = reset_mod.reset_system(
         cfg, m, state, init_key_data, sim_ctrl, force_reset
@@ -135,6 +161,7 @@ def step_world(
         "done": done,
         "episode_result": episode_result,
         "events": events,
+        **record_out,
     }
     return state, outputs
 
