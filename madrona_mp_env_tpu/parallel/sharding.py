@@ -51,21 +51,28 @@ def train_state_shardings(mesh: Mesh, ts):
     def env_leaf(_):
         return ws
 
-    # actor-axis tensors: cur_obs [E, B/E, ...] shard axis 1;
-    # rnn_states [2, 2, E, BE, H] shard axis 3
-    actor_obs = NamedSharding(mesh, P(None, "data"))
+    # actor-axis tensors: rnn_states [2, 2, E, BE, H] shard axis 3
     rnn_sh = NamedSharding(mesh, P(None, None, None, "data"))
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    past_rnn_sh = rnn_sh if (ts.past_rnn_states.shape[3] % n_dev == 0
+                             and ts.past_rnn_states.shape[3] > 0) else rep
 
     return ts.replace(
         params=jax.tree_util.tree_map(lambda _: rep, ts.params),
         opt_state=jax.tree_util.tree_map(lambda _: rep, ts.opt_state),
         normalizer=jax.tree_util.tree_map(lambda _: rep, ts.normalizer),
         env_state=jax.tree_util.tree_map(env_leaf, ts.env_state),
-        cur_obs=jax.tree_util.tree_map(lambda _: actor_obs, ts.cur_obs),
+        # cur_obs is [W, A, ...]: world axis sharded like the env state
+        cur_obs=jax.tree_util.tree_map(lambda _: ws, ts.cur_obs),
         rnn_states=rnn_sh,
+        past_rnn_states=past_rnn_sh,
         key=rep,
         update_idx=rep,
         elo=rep,
+        hyper_params=jax.tree_util.tree_map(lambda _: rep, ts.hyper_params),
+        past_params=jax.tree_util.tree_map(lambda _: rep, ts.past_params),
+        past_ptr=rep,
     )
 
 

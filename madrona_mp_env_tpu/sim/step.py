@@ -155,6 +155,18 @@ def step_world(
     state, lidar_obs = observations.lidar_system(cfg, m, state)
     obs.update(lidar_obs)
 
+    if cfg.has_flag(SimFlags.FullTeamPolicy):
+        from . import full_team
+
+        ft_obs, ft_lk = full_team.full_team_observations_system(
+            cfg, m, state, can_see, obs["fwd_lidar"], obs["rear_lidar"]
+        )
+        ft_reward, ft_done = full_team.full_team_done_reward(cfg, state)
+        ft_obs["full_team_reward"] = ft_reward
+        ft_obs["full_team_done"] = ft_done
+        obs.update(ft_obs)
+        state = state.replace(ft_last_known=ft_lk)
+
     outputs = {
         "obs": obs,
         "reward": reward_out,
@@ -185,4 +197,17 @@ def init_and_observe(
     )
     state, lidar_obs = observations.lidar_system(cfg, m, state)
     obs.update(lidar_obs)
+
+    if cfg.has_flag(SimFlags.FullTeamPolicy):
+        from . import full_team
+
+        ft_obs, ft_lk = full_team.full_team_observations_system(
+            cfg, m, state, can_see, obs["fwd_lidar"], obs["rear_lidar"]
+        )
+        ft_reward, ft_done = full_team.full_team_done_reward(cfg, state)
+        ft_obs["full_team_reward"] = ft_reward
+        ft_obs["full_team_done"] = ft_done
+        obs.update(ft_obs)
+        state = state.replace(ft_last_known=ft_lk)
+
     return state, obs

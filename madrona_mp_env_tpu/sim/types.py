@@ -132,6 +132,10 @@ class WorldState:
     prev_fwd_depth: jax.Array  # [A, fwd_h, fwd_w] f32
     prev_can_see: jax.Array  # [A, max_team_size] bool
 
+    # --- full-team interface persistent last-known enemy obs ---
+    # (FullTeamLastKnownEnemyObservations, types.hpp:1110-1112)
+    ft_last_known: jax.Array  # [2, team_size, 14 + team_size] f32
+
     # --- match-level ---
     team_a: jax.Array  # i32: team index spawning at the "A" side
     cur_step: jax.Array  # i32
@@ -237,6 +241,7 @@ def init_world_state(cfg: EnvConfig, num_goal_regions: int) -> WorldState:
             (A, consts.fwd_lidar_height, consts.fwd_lidar_width), f
         ),
         prev_can_see=jnp.zeros((A, T), bool),
+        ft_last_known=jnp.zeros((2, T, 14 + T), f),
         team_a=jnp.zeros((), i),
         cur_step=jnp.zeros((), i),
         is_finished=jnp.zeros((), bool),

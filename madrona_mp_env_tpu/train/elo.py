@@ -42,6 +42,17 @@ def accumulate_match_scores(win_results, team_policies):
     return team_policies, score_a, valid
 
 
+def print_elos(elos):
+    """Pretty-print per-policy ELO ratings (reference scripts/common.py
+    print_elos)."""
+    import numpy as np
+
+    elos = np.asarray(elos).reshape(-1)
+    print("ELO:")
+    for i, e in enumerate(elos):
+        print(f"  policy {i}: {float(e):.1f}")
+
+
 def elo_update_masked(ratings, pairs, scores, valid, k=32.0):
     ra = ratings[pairs[:, 0]]
     rb = ratings[pairs[:, 1]]

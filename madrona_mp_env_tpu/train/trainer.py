@@ -71,6 +71,8 @@ class TrainConfig:
     gae_lambda: float = 0.95
     ppo: PPOConfig = field(default_factory=PPOConfig)
     num_train_policies: int = 1  # PBT ensemble size
+    pbt: Optional["PBTConfig"] = None  # full PBT config (portions, past)
+    lr_explore: Optional["ParamExplore"] = None  # per-policy lr exploration
     compute_dtype: Any = jnp.float32
     seed: int = 5
     metrics_buffer_size: int = 5
@@ -87,11 +89,15 @@ class TrainState:
     opt_state: Any  # stacked [E, ...]
     normalizer: EMANormalizerState
     env_state: WorldState  # batched [W, ...]
-    cur_obs: Dict[str, jax.Array]  # block order [E, B/E, ...]
-    rnn_states: jax.Array  # [2, 2, E, B/E, H]
+    cur_obs: Dict[str, jax.Array]  # full obs [W, A, ...]
+    rnn_states: jax.Array  # [2, 2, E, B_train/E, H]
+    past_rnn_states: jax.Array  # [2, 2, P, B_past/P, H] (P may be 0)
     key: jax.Array
     update_idx: jax.Array
-    elo: jax.Array  # [E] per-policy rating
+    elo: jax.Array  # [E + P] per-slot rating
+    hyper_params: Dict[str, jax.Array]  # per-train-policy, e.g. {"lr": [E]}
+    past_params: Any  # stacked [P, ...] frozen history (empty pytree if P=0)
+    past_ptr: jax.Array  # next history slot to overwrite
 
 
 def _static_assignment(cfg: EnvConfig, tcfg: TrainConfig):
@@ -112,46 +118,96 @@ def _static_assignment(cfg: EnvConfig, tcfg: TrainConfig):
     return assign, perm, inv_perm
 
 
+def _slot_permutations(assign: np.ndarray, E: int, P: int):
+    """Split the flat actor axis into equal-size train blocks [E, BEt] and
+    past blocks [P, BPp] from a slot-id table (slots [0,E) train,
+    [E,E+P) past)."""
+    flat = assign.reshape(-1)
+    train_idx = []
+    for e in range(E):
+        (idx,) = np.nonzero(flat == e)
+        train_idx.append(idx)
+    sizes = {len(i) for i in train_idx}
+    assert len(sizes) == 1, f"unequal train-slot actor counts: {sizes}"
+    train_perm = np.stack(train_idx).astype(np.int32)  # [E, BEt]
+
+    past_perm = np.zeros((P, 0), np.int32)
+    if P > 0:
+        past_idx = []
+        for p in range(P):
+            (idx,) = np.nonzero(flat == E + p)
+            past_idx.append(idx)
+        sizes = {len(i) for i in past_idx}
+        assert len(sizes) == 1, f"unequal past-slot actor counts: {sizes}"
+        past_perm = np.stack(past_idx).astype(np.int32)
+    return train_perm, past_perm
+
+
 class TrainingManager:
     """Holds the static pieces (env, model, optimizer, permutations) and
     exposes pure jitted update functions over TrainState."""
 
     def __init__(self, cfg: EnvConfig, tcfg: TrainConfig, env: Env):
+        from .pbt import PBTConfig, make_matchmaking
+
         self.cfg = cfg
         self.tcfg = tcfg
         self.env = env
         self.model = ActorCriticNet(dtype=tcfg.compute_dtype)
+        # per-policy lr is applied as a final per-policy scale so PBT can
+        # explore it (ParamExplore on lr, jax_train.py:227-232)
         self.tx = optax.chain(
             optax.clip_by_global_norm(tcfg.ppo.max_grad_norm),
-            optax.adam(tcfg.lr),
+            optax.scale_by_adam(),
+            optax.scale(-1.0),
         )
 
         self.W = tcfg.num_worlds
         self.A = cfg.num_agents
         self.B = self.W * self.A
         self.E = tcfg.num_train_policies
-        self.BE = self.B // self.E
 
-        assign, perm, inv_perm = _static_assignment(cfg, tcfg)
+        self.pbt = tcfg.pbt or PBTConfig(
+            num_train_policies=self.E,
+            num_past_policies=0,
+            cross_play_portion=1.0,
+        )
+        assert self.pbt.num_train_policies == self.E
+        self.P = self.pbt.num_past_policies
+
+        assign, _ = make_matchmaking(self.W, self.A, cfg.team_size, self.pbt)
+        train_perm, past_perm = _slot_permutations(assign, self.E, self.P)
         self.assignment = jnp.asarray(assign)
-        self.perm = jnp.asarray(perm)
-        self.inv_perm = jnp.asarray(inv_perm)
+        self.train_perm = jnp.asarray(train_perm)  # [E, BEt]
+        self.past_perm = jnp.asarray(past_perm)  # [P, BPp]
+        self.BE = train_perm.shape[1]
+        self.BPp = past_perm.shape[1] if self.P > 0 else 0
 
         # NOTE: donation of the train state would halve peak memory; it is
         # deliberately off until the update loop owns state lifetimes
         # (callers still hold references during interactive use/tests).
         self._update_fn = jax.jit(self._update_impl)
+        self._update_population_fn = jax.jit(self._update_population_impl)
+        self._store_past_fn = jax.jit(self._store_past_impl)
 
     # -------------------------------------------------- block reshaping
     def to_blocks(self, x):
-        """[W, A, ...] -> [E, B/E, ...] in policy-block order."""
+        """[W, A, ...] -> train blocks [E, BEt, ...]."""
         flat = x.reshape((self.B,) + x.shape[2:])
-        return flat[self.perm].reshape((self.E, self.BE) + x.shape[2:])
+        return flat[self.train_perm]
 
-    def from_blocks(self, x):
-        """[E, B/E, ...] -> [W, A, ...]."""
+    def to_past_blocks(self, x):
         flat = x.reshape((self.B,) + x.shape[2:])
-        return flat[self.inv_perm].reshape((self.W, self.A) + x.shape[2:])
+        return flat[self.past_perm]
+
+    def from_blocks(self, train_b, past_b=None):
+        """Scatter train (+ past) blocks back to [W, A, ...]."""
+        tail = train_b.shape[2:]
+        flat = jnp.zeros((self.B,) + tail, train_b.dtype)
+        flat = flat.at[self.train_perm].set(train_b)
+        if past_b is not None and self.P > 0:
+            flat = flat.at[self.past_perm].set(past_b)
+        return flat.reshape((self.W, self.A) + tail)
 
     def _policy_obs(self, obs):
         return {k: obs[k] for k in POLICY_OBS_KEYS}
@@ -160,7 +216,7 @@ class TrainingManager:
     def init(self, seed: Optional[int] = None) -> TrainState:
         seed = self.tcfg.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
-        k_param, k_state = jax.random.split(key)
+        k_param, k_state, k_hp = jax.random.split(key, 3)
 
         env_state, obs = self.env.reset(sim_ctrl=jnp.array([0, 1, 1], jnp.int32))
         pobs = self._policy_obs(obs)
@@ -185,16 +241,33 @@ class TrainingManager:
             policy_idx=jnp.broadcast_to(self.assignment, (self.W, self.A))
         )
 
+        # per-policy hyperparams (explored by PBT)
+        if self.tcfg.lr_explore is not None:
+            lr0 = self.tcfg.lr_explore.init_values(k_hp, self.E)
+        else:
+            lr0 = jnp.full((self.E,), self.tcfg.lr, jnp.float32)
+
+        # past-policy history starts as copies of the train policies
+        if self.P > 0:
+            src = jnp.arange(self.P) % self.E
+            past_params = jax.tree_util.tree_map(lambda x: x[src], params)
+        else:
+            past_params = jax.tree_util.tree_map(lambda x: x[:0], params)
+
         return TrainState(
             params=params,
             opt_state=opt_state,
             normalizer=normalizer,
             env_state=env_state,
-            cur_obs=obs_blocks,
+            cur_obs=pobs,
             rnn_states=init_rnn_states((self.E, self.BE)),
+            past_rnn_states=init_rnn_states((self.P, self.BPp)),
             key=k_state,
             update_idx=jnp.zeros((), jnp.int32),
-            elo=jnp.full((self.E,), 1000.0, jnp.float32),
+            elo=jnp.full((self.E + self.P,), 1000.0, jnp.float32),
+            hyper_params={"lr": lr0},
+            past_params=past_params,
+            past_ptr=jnp.zeros((), jnp.int32),
         )
 
     # -------------------------------------------------- policy apply
@@ -215,17 +288,37 @@ class TrainingManager:
         sim_ctrl = jnp.array([0, 1, 1], jnp.int32)
         no_reset = jnp.zeros((self.W,), jnp.int32)
         env_step = self.env.step_fn()
+        has_past = self.P > 0
 
         def step_body(carry, step_key):
-            env_state, obs_blocks, rnn, norm = carry
+            env_state, obs, rnn, past_rnn, norm = carry
+            k_train, k_past = jax.random.split(step_key)
 
+            obs_blocks = jax.tree_util.tree_map(self.to_blocks, obs)
             norm_obs = normalize_obs(norm, obs_blocks, tcfg.compute_dtype)
             dists, values, rnn2 = self._apply_blocks(ts.params, rnn, norm_obs)
-            actions, log_probs = dists.sample(step_key)
+            actions, log_probs = dists.sample(k_train)
+
+            # past (frozen) policies act but never learn
+            past_actions = None
+            if has_past:
+                past_obs = jax.tree_util.tree_map(self.to_past_blocks, obs)
+                past_norm = normalize_obs(norm, past_obs, tcfg.compute_dtype)
+                pdists, _pv, past_rnn2 = self._apply_blocks(
+                    ts.past_params, past_rnn, past_norm
+                )
+                past_actions, _ = pdists.sample(k_past)
+            else:
+                past_rnn2 = past_rnn
 
             # blocks -> env action struct
-            da = self.from_blocks(actions["discrete"])
-            aa = self.from_blocks(actions["aim"])
+            da = self.from_blocks(
+                actions["discrete"],
+                past_actions["discrete"] if has_past else None,
+            )
+            aa = self.from_blocks(
+                actions["aim"], past_actions["aim"] if has_past else None
+            )
             env_actions = Actions(
                 move_amount=da[..., 0],
                 move_angle=da[..., 1],
@@ -242,10 +335,12 @@ class TrainingManager:
             reward_b = self.to_blocks(out["reward"])
             done_b = self.to_blocks(out["done"])
             rnn2 = clear_rnn_states(rnn2, done_b != 0)
+            if has_past:
+                past_rnn2 = clear_rnn_states(
+                    past_rnn2, self.to_past_blocks(out["done"]) != 0
+                )
 
-            next_obs = jax.tree_util.tree_map(
-                self.to_blocks, self._policy_obs(out["obs"])
-            )
+            next_obs = self._policy_obs(out["obs"])
             norm = update_normalizer(norm, obs_blocks)
 
             outputs = {
@@ -258,7 +353,7 @@ class TrainingManager:
                 "win_result": out["episode_result"]["win_result"],
                 "match_finished": out["episode_result"]["match_finished"],
             }
-            return (env_state, next_obs, rnn2, norm), outputs
+            return (env_state, next_obs, rnn2, past_rnn2, norm), outputs
 
         def chunk_body(carry, chunk_keys):
             rnn_start = carry[2]
@@ -270,12 +365,21 @@ class TrainingManager:
             sub, tcfg.num_bptt_chunks * tcfg.chunk_len
         ).reshape((tcfg.num_bptt_chunks, tcfg.chunk_len) + sub.shape)
 
-        carry0 = (ts.env_state, ts.cur_obs, ts.rnn_states, ts.normalizer)
+        carry0 = (
+            ts.env_state,
+            ts.cur_obs,
+            ts.rnn_states,
+            ts.past_rnn_states,
+            ts.normalizer,
+        )
         carry, (rnn_starts, outs) = jax.lax.scan(chunk_body, carry0, step_keys)
-        env_state, final_obs, final_rnn, normalizer = carry
+        env_state, final_obs, final_rnn, final_past_rnn, normalizer = carry
 
         # bootstrap value from the final observation
-        final_norm_obs = normalize_obs(normalizer, final_obs, tcfg.compute_dtype)
+        final_blocks = jax.tree_util.tree_map(self.to_blocks, final_obs)
+        final_norm_obs = normalize_obs(
+            normalizer, final_blocks, tcfg.compute_dtype
+        )
         _, bootstrap_value, _ = self._apply_blocks(
             ts.params, final_rnn, final_norm_obs
         )
@@ -284,6 +388,7 @@ class TrainingManager:
             env_state=env_state,
             cur_obs=final_obs,
             rnn_states=final_rnn,
+            past_rnn_states=final_past_rnn,
             normalizer=normalizer,
             key=key,
         )
@@ -409,15 +514,20 @@ class TrainingManager:
                     "rnn": gather_e(rnn_units),
                 }
 
-                def update_one(p, os, b):
+                def update_one(p, os, b, lr):
                     grads, metrics = grad_fn(p, b)
                     updates, os = self.tx.update(grads, os, p)
+                    # per-policy learning rate (PBT-explorable)
+                    updates = jax.tree_util.tree_map(
+                        lambda u: u * lr, updates
+                    )
                     p = optax.apply_updates(p, updates)
                     return p, os, metrics
 
                 params, opt_state, metrics = jax.vmap(update_one)(
                     params, opt_state,
                     jax.tree_util.tree_map(lambda x: x, batch),
+                    ts.hyper_params["lr"],
                 )
                 return (params, opt_state), metrics
 
@@ -472,6 +582,62 @@ class TrainingManager:
     def update_iter(self, ts: TrainState):
         return self._update_fn(ts)
 
+    # -------------------------------------------------- PBT population ops
+    def _update_population_impl(self, ts: TrainState):
+        """ELO-ranked truncation selection over the train ensemble
+        (madrona_learn.update_population, jax_train.py:364-371)."""
+        from .pbt import ParamExplore, update_population
+
+        key, sub = jax.random.split(ts.key)
+        explore = {
+            "lr": self.tcfg.lr_explore
+            or ParamExplore(
+                base=self.tcfg.lr, min_scale=0.1, max_scale=10.0,
+                log10_scale=True,
+            )
+        }
+        train_elo = ts.elo[: self.E]
+        params, opt_state, hyper_params, train_elo = update_population(
+            sub,
+            ts.params,
+            ts.opt_state,
+            ts.hyper_params,
+            train_elo,
+            explore,
+            self.pbt.selection_fraction,
+        )
+        elo = ts.elo.at[: self.E].set(train_elo)
+        return ts.replace(
+            params=params,
+            opt_state=opt_state,
+            hyper_params=hyper_params,
+            elo=elo,
+            key=key,
+        )
+
+    def update_population(self, ts: TrainState) -> TrainState:
+        return self._update_population_fn(ts)
+
+    def _store_past_impl(self, ts: TrainState):
+        """Snapshot the current best train policy into the past-policy
+        history ring (policy_history_size, bindings.cpp:58)."""
+        if self.P == 0:
+            return ts
+        best = jnp.argmax(ts.elo[: self.E])
+        slot = ts.past_ptr % self.P
+        past_params = jax.tree_util.tree_map(
+            lambda hist, cur: hist.at[slot].set(cur[best]),
+            ts.past_params,
+            ts.params,
+        )
+        elo = ts.elo.at[self.E + slot].set(ts.elo[best])
+        return ts.replace(
+            past_params=past_params, past_ptr=ts.past_ptr + 1, elo=elo
+        )
+
+    def store_past_policy(self, ts: TrainState) -> TrainState:
+        return self._store_past_fn(ts)
+
     # -------------------------------------------------- checkpointing
     def save_ckpt(self, ts: TrainState, path: str):
         import orbax.checkpoint as ocp
@@ -483,6 +649,9 @@ class TrainingManager:
             "normalizer": ts.normalizer,
             "update_idx": ts.update_idx,
             "elo": ts.elo,
+            "hyper_params": ts.hyper_params,
+            "past_params": ts.past_params,
+            "past_ptr": ts.past_ptr,
         }
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(
@@ -501,6 +670,9 @@ class TrainingManager:
             "normalizer": ts.normalizer,
             "update_idx": ts.update_idx,
             "elo": ts.elo,
+            "hyper_params": ts.hyper_params,
+            "past_params": ts.past_params,
+            "past_ptr": ts.past_ptr,
         }
         restored = ckptr.restore(path, item=target)
         return ts.replace(**restored)

@@ -1,0 +1,147 @@
+"""PBT tests: matchmaking portions, param exploration, population update,
+past-policy history."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from madrona_mp_env_tpu import Env, EnvConfig, Task
+from madrona_mp_env_tpu.train import PPOConfig, TrainConfig, TrainingManager
+from madrona_mp_env_tpu.train.pbt import (
+    ParamExplore,
+    PBTConfig,
+    make_matchmaking,
+    update_population,
+)
+
+
+def test_param_explore_ranges():
+    pe = ParamExplore(base=1e-4, min_scale=0.1, max_scale=10.0, log10_scale=True)
+    vals = pe.init_values(jax.random.PRNGKey(0), 64)
+    assert np.all(np.asarray(vals) >= 1e-5 - 1e-12)
+    assert np.all(np.asarray(vals) <= 1e-3 + 1e-12)
+    # log-uniform: order-of-magnitude spread
+    assert np.asarray(vals).max() / np.asarray(vals).min() > 10.0
+
+    pert = pe.perturb(jax.random.PRNGKey(1), vals)
+    assert np.all(np.asarray(pert) >= 1e-5 - 1e-12)
+    assert np.all(np.asarray(pert) <= 1e-3 + 1e-12)
+
+
+def test_matchmaking_portions():
+    pbt = PBTConfig(
+        num_train_policies=2,
+        num_past_policies=2,
+        self_play_portion=0.25,
+        cross_play_portion=0.5,
+        past_play_portion=0.25,
+    )
+    assign, kinds = make_matchmaking(16, 8, 4, pbt)
+    assert assign.shape == (16, 8)
+    assert list(kinds) == [4, 8, 4]
+    # self-play worlds: both teams same policy
+    for w in range(4):
+        assert len(np.unique(assign[w])) == 1
+    # cross-play worlds: teams differ (E=2 and 2w+t alternates)
+    for w in range(4, 12):
+        assert assign[w, 0] != assign[w, 4]
+    # past-play worlds: team 0 trains (<2), team 1 is past (>=2)
+    for w in range(12, 16):
+        assert assign[w, 0] < 2 and assign[w, 4] >= 2
+    # balanced within groups
+    counts = np.bincount(assign.reshape(-1), minlength=4)
+    assert counts[0] == counts[1]
+    assert counts[2] == counts[3]
+
+
+def test_update_population_copies_best():
+    E = 4
+    params = {"w": jnp.arange(E, dtype=jnp.float32)[:, None] * jnp.ones((E, 3))}
+    opt = {"m": jnp.zeros((E, 3))}
+    hp = {"lr": jnp.array([1e-4, 2e-4, 3e-4, 4e-4])}
+    elo = jnp.array([800.0, 1200.0, 1000.0, 900.0])
+    explore = {
+        "lr": ParamExplore(base=1e-4, min_scale=0.1, max_scale=10.0, log10_scale=True)
+    }
+    p2, o2, hp2, elo2 = update_population(
+        jax.random.PRNGKey(0), params, opt, hp, elo, explore, 0.25
+    )
+    # worst (policy 0, elo 800) replaced by best (policy 1, elo 1200)
+    assert np.allclose(np.asarray(p2["w"][0]), np.asarray(params["w"][1]))
+    assert float(elo2[0]) == 1200.0
+    # others untouched
+    assert np.allclose(np.asarray(p2["w"][2]), np.asarray(params["w"][2]))
+    assert float(hp2["lr"][2]) == pytest.approx(3e-4)
+    # replaced slot's lr is a perturbation of the donor's
+    assert float(hp2["lr"][0]) != pytest.approx(float(hp["lr"][1]))
+    assert 1e-5 <= float(hp2["lr"][0]) <= 1e-3
+
+
+@pytest.fixture(scope="module")
+def pbt_mgr(simple_map_dir):
+    cfg = EnvConfig(task=Task.Zone, team_size=2, episode_len=40)
+    pbt = PBTConfig(
+        num_train_policies=2,
+        num_past_policies=2,
+        self_play_portion=0.25,
+        cross_play_portion=0.5,
+        past_play_portion=0.25,
+    )
+    tcfg = TrainConfig(
+        num_worlds=8,
+        steps_per_update=4,
+        num_bptt_chunks=2,
+        num_train_policies=2,
+        pbt=pbt,
+        lr_explore=ParamExplore(
+            base=1e-4, min_scale=0.1, max_scale=10.0, log10_scale=True
+        ),
+        ppo=PPOConfig(num_epochs=1, num_minibatches=2),
+        seed=11,
+    )
+    env = Env(cfg, simple_map_dir, num_worlds=8, seed=11)
+    mgr = TrainingManager(cfg, tcfg, env)
+    return mgr, mgr.init()
+
+
+def test_pbt_train_update_with_past_policies(pbt_mgr):
+    mgr, ts = pbt_mgr
+    assert mgr.P == 2
+    # per-policy lr spread by explore
+    lrs = np.asarray(ts.hyper_params["lr"])
+    assert lrs.shape == (2,)
+    assert not np.allclose(lrs[0], lrs[1])
+
+    ts2, metrics = mgr.update_iter(ts)
+    assert int(ts2.update_idx) == 1
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+    # train params changed, past params frozen
+    p_before = np.asarray(jax.tree_util.tree_leaves(ts.params)[0])
+    p_after = np.asarray(jax.tree_util.tree_leaves(ts2.params)[0])
+    assert not np.allclose(p_before, p_after)
+    pp_before = np.asarray(jax.tree_util.tree_leaves(ts.past_params)[0])
+    pp_after = np.asarray(jax.tree_util.tree_leaves(ts2.past_params)[0])
+    assert np.allclose(pp_before, pp_after)
+
+
+def test_store_past_and_population_update(pbt_mgr):
+    mgr, ts = pbt_mgr
+    ts = ts.replace(
+        elo=jnp.array([1100.0, 900.0, 1000.0, 1000.0], jnp.float32)
+    )
+    ts2 = mgr.store_past_policy(ts)
+    # best train policy (0) copied into past slot 0
+    best = np.asarray(jax.tree_util.tree_leaves(ts.params)[0][0])
+    stored = np.asarray(jax.tree_util.tree_leaves(ts2.past_params)[0][0])
+    assert np.allclose(best, stored)
+    assert int(ts2.past_ptr) == 1
+    assert float(ts2.elo[2]) == 1100.0
+
+    ts3 = mgr.update_population(ts2)
+    # with selection_fraction 0.25 and E=2 -> k=1: worst (policy 1) replaced
+    p0 = np.asarray(jax.tree_util.tree_leaves(ts2.params)[0][0])
+    p1 = np.asarray(jax.tree_util.tree_leaves(ts3.params)[0][1])
+    assert np.allclose(p0, p1)
+    assert float(ts3.elo[1]) == 1100.0

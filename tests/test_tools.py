@@ -1,0 +1,117 @@
+"""Tooling tests: step tokenization, ngrams, weight export, hash encoder,
+trajectory training-set builder."""
+
+import json
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _make_db(path, rows):
+    """rows: (match_id, step_idx, event_mask)."""
+    con = sqlite3.connect(path)
+    con.executescript(
+        """CREATE TABLE match_steps (
+             id INTEGER PRIMARY KEY AUTOINCREMENT,
+             match_id INTEGER, step_idx INTEGER, event_mask INTEGER,
+             cur_zone INTEGER DEFAULT 0, cur_zone_controller INTEGER DEFAULT -1,
+             zone_steps_remaining INTEGER DEFAULT 0,
+             zone_steps_until_point INTEGER DEFAULT 0,
+             num_events INTEGER DEFAULT 0, world_id INTEGER DEFAULT 0,
+             global_idx INTEGER DEFAULT 0);
+           CREATE TABLE step_tokens (
+             id INTEGER PRIMARY KEY AUTOINCREMENT,
+             match_id INTEGER, tick INTEGER, token INTEGER);"""
+    )
+    con.executemany(
+        "INSERT INTO match_steps (match_id, step_idx, event_mask) "
+        "VALUES (?,?,?)",
+        rows,
+    )
+    con.commit()
+    con.close()
+
+
+def test_tokenize_and_ngrams(tmp_path):
+    from madrona_mp_env_tpu.tools.ngrams import top_ngrams
+    from madrona_mp_env_tpu.tools.tokenize_steps import tokenize
+
+    db = os.path.join(tmp_path, "t.db")
+    rows = []
+    for m in range(2):
+        for s in range(400):
+            mask = 4 if (s % 100) == 50 else 0  # a kill every 100 steps
+            rows.append((m, s, mask))
+    _make_db(db, rows)
+
+    n = tokenize(db, verbose=False)
+    assert n > 0
+    con = sqlite3.connect(db)
+    toks = con.execute(
+        "SELECT match_id, tick, token FROM step_tokens ORDER BY match_id, tick"
+    ).fetchall()
+    con.close()
+    # windows containing a kill carry mask 4
+    assert any(t[2] == 4 for t in toks)
+
+    total, top = top_ngrams(db, n=3, top_k=5)
+    assert total > 0
+    assert len(top) > 0
+
+
+def test_print_assignments(capsys):
+    from madrona_mp_env_tpu.tools.print_assignments import print_assignments
+
+    print_assignments(8, 2)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 8
+    assert "(0, 0)" in out[0]
+
+
+def test_convert_weights(tmp_path):
+    from madrona_mp_env_tpu.tools.convert_weights import save_arrays
+
+    params = {
+        "dense": {"kernel": np.ones((2, 4, 8), np.float32)},
+        "scalar": np.ones((2,), np.float32),  # skipped (ndim < 2)
+    }
+    save_arrays(params, str(tmp_path), verbose=False)
+    f = os.path.join(tmp_path, "0", "dense_kernel")
+    assert os.path.exists(f)
+    with open(f, "rb") as fh:
+        ndim = np.fromfile(fh, np.int32, 1)[0]
+        shape = np.fromfile(fh, np.int32, ndim)
+        data = np.fromfile(fh, np.float32)
+    assert ndim == 2
+    assert list(shape) == [4, 8]
+    assert data.shape == (32,)
+
+
+def test_hash_encoder():
+    from madrona_mp_env_tpu.train.hash_encoder import HashGridEncoder
+
+    enc = HashGridEncoder(dim=3, num_levels=4, table_size=2 ** 10,
+                          num_features=2)
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (16, 3))
+    params = enc.init(jax.random.PRNGKey(1), pos)
+    out = enc.apply(params, pos)
+    assert out.shape == (16, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # deterministic and smooth: nearby points give nearby encodings
+    out2 = enc.apply(params, pos)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    eps = enc.apply(params, pos + 1e-5)
+    assert np.max(np.abs(np.asarray(eps) - np.asarray(out))) < 1e-2
+
+    # gradients flow to the table
+    def loss(p):
+        return jnp.sum(enc.apply(p, pos) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.sum(jnp.abs(g["params"]["hash_table"]))) > 0.0
