@@ -32,6 +32,8 @@ class TriSoup(NamedTuple):
     """Precomputed per-triangle data, padded to a lane-friendly count.
 
     Padding triangles are degenerate (zero area) and flagged invalid.
+    ``packed`` holds the [16, T] plane/barycentric constants consumed by the
+    Pallas TPU kernel (ops/raycast_pallas.py), sorted identically.
     """
 
     v0: jax.Array  # [T, 3]
@@ -39,10 +41,23 @@ class TriSoup(NamedTuple):
     e2: jax.Array  # [T, 3]  (v2 - v0)
     normal: jax.Array  # [T, 3] unit geometric normal
     valid: jax.Array  # [T] bool
+    packed: jax.Array  # [16, T] Pallas ray-kernel constants
+    sc_packed: jax.Array  # [16, T] Pallas sphere-cast constants
+    dir_packed: jax.Array  # [16, 3T] bf16 fan-kernel direction matrix
 
 
 def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
     """Build a TriSoup from [T, 3, 3] triangle vertices (host-side)."""
+    from .raycast_pallas import (
+        morton_sort_tris,
+        pack_dir_consts,
+        pack_sc_consts,
+        pack_tri_consts,
+    )
+
+    # spatially sort so Pallas lane-tiles of triangles are coherent
+    tri_verts = morton_sort_tris(tri_verts)
+
     t = tri_verts.shape[0]
     padded = -(-max(t, 1) // pad_to) * pad_to
     v = np.zeros((padded, 3, 3), np.float32)
@@ -63,15 +78,51 @@ def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
         e2=jnp.asarray(e2),
         normal=jnp.asarray(n.astype(np.float32)),
         valid=jnp.asarray(valid),
+        packed=jnp.asarray(pack_tri_consts(tri_verts, pad_to=padded)),
+        sc_packed=jnp.asarray(pack_sc_consts(tri_verts, pad_to=padded)),
+        dir_packed=jnp.asarray(
+            pack_dir_consts(pack_tri_consts(tri_verts, pad_to=padded))
+        ),
     )
 
 
-def ray_vs_tris(o, d, soup: TriSoup, t_max=INF):
-    """Two-sided Moller-Trumbore over all triangles.
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
 
-    o, d: [..., 3]. Returns t: [...] (inf on miss), matching
-    MeshBVH::traceRay (mesh_bvh.inl) behavior of reporting the nearest hit.
+
+def ray_vs_tris(o, d, soup: TriSoup, t_max=INF):
+    """Nearest-hit ray vs the map triangle soup. o, d: [..., 3]; returns t
+    [...] (inf on miss) — MeshBVH::traceRay semantics (mesh_bvh.inl).
+
+    Dispatches to the fused Pallas kernel on TPU; the dense jnp sweep below
+    is the portable reference path (CPU tests, interpret mode).
     """
+    if on_tpu():
+        from .raycast_pallas import ray_vs_tris_pallas
+
+        return ray_vs_tris_pallas(o, d, soup.packed, t_max=t_max)
+    return _ray_vs_tris_dense(o, d, soup, t_max)
+
+
+def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF):
+    """Nearest-hit for per-agent sensor ray fans sharing a base origin
+    (per-ray origin = base + (0, 0, z_offset)). origins [..., 3];
+    zoffs [..., F]; dirs [..., F, 3]. Returns t [..., F] (inf on miss).
+
+    TPU: fused fan kernel (shared-origin terms hoisted, bf16 MXU direction
+    dots); elsewhere the dense sweep."""
+    if on_tpu():
+        from .raycast_pallas import ray_fans_vs_tris_pallas
+
+        return ray_fans_vs_tris_pallas(origins, zoffs, dirs, soup, t_max)
+    o = origins[..., None, :] + jnp.stack(
+        [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
+    )
+    return _ray_vs_tris_dense(o, dirs, soup, t_max)
+
+
+def _ray_vs_tris_dense(o, d, soup: TriSoup, t_max=INF):
+    """Two-sided Moller-Trumbore over all triangles (reference path)."""
     o = o[..., None, :]  # [..., 1, 3]
     d = d[..., None, :]
 
@@ -231,6 +282,16 @@ def _closest_point_on_tri(p, v0, e1, e2):
 
 
 def sphere_cast_vs_tris(o, d, r, soup: TriSoup, t_max=INF):
+    """Sphere cast against the map; dispatches to the fused Pallas kernel on
+    TPU, dense jnp sweep elsewhere. Returns (t [...], normal [..., 3])."""
+    if on_tpu():
+        from .raycast_pallas import sphere_cast_vs_tris_pallas
+
+        return sphere_cast_vs_tris_pallas(o, d, float(r), soup, t_max=t_max)
+    return _sphere_cast_vs_tris_dense(o, d, r, soup, t_max)
+
+
+def _sphere_cast_vs_tris_dense(o, d, r, soup: TriSoup, t_max=INF):
     """Sweep a sphere of radius r from o along unit d against all triangles.
 
     Jolt-style semantics matching MeshBVH::sphereCastTriangle

@@ -1,0 +1,719 @@
+"""Pallas TPU kernels for batched raycasts.
+
+The hot op of the whole framework (SURVEY.md §3.4: ~110 rays/agent-step —
+movement, hitscan, LOS, lidar — all against one static map). The dense
+jnp formulation (ops/raycast.py) materializes [rays, tris] temporaries in
+HBM (gigabytes at training batch sizes, memory-bound); these kernels keep
+the per-(ray, tri) work in VMEM with a fused min-reduction, streaming only
+rays in and hit distances out.
+
+Formulation: plane + barycentric-plane intersection with per-triangle
+constants precomputed once (device-resident [16, T] matrix):
+
+    t = (d0 - n.o) / n.d
+    u = w1.o + t * (w1.d) + c1      (barycentric u as an affine fn of the
+    v = w2.o + t * (w2.d) + c2       hit point x = o + t d)
+    hit iff |n.d| > eps, t in (0, t_max], u >= 0, v >= 0, u + v <= 1
+
+All broadcast terms are [BLOCK_RAYS, 1] x [1, T] VPU ops; rays ride the
+sublane axis, triangles the lane axis.
+
+Replaces the reference's per-thread quantized-BVH traversal
+(src/mesh_bvh.inl traceRay) — divergence-free and regular instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_RAYS = 256
+INF = jnp.inf
+
+# rows of the packed tri-constants matrix
+_NX, _NY, _NZ, _D0 = 0, 1, 2, 3
+_W1X, _W1Y, _W1Z, _C1 = 4, 5, 6, 7
+_W2X, _W2Y, _W2Z, _C2 = 8, 9, 10, 11
+_VALID = 12
+TRI_CONST_ROWS = 16  # padded to a sublane multiple
+
+
+def morton_sort_tris(tri_verts: np.ndarray) -> np.ndarray:
+    """Sort triangles by the Morton code of their centroid so consecutive
+    lane-tiles of triangles are spatially coherent (host-side, once)."""
+    if len(tri_verts) == 0:
+        return tri_verts
+    c = tri_verts.mean(axis=1)
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    q = ((c - lo) / np.maximum(hi - lo, 1e-9) * 1023).astype(np.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return tri_verts[np.argsort(code, kind="stable")]
+
+
+def pack_tri_consts(tri_verts: np.ndarray, pad_to: int = 256) -> np.ndarray:
+    """[T, 3, 3] triangle vertices -> [16, T_pad] constants (host-side)."""
+    t = tri_verts.shape[0]
+    T = -(-max(t, 1) // pad_to) * pad_to
+    v = np.zeros((T, 3, 3), np.float64)
+    v[:t] = tri_verts
+
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    n = np.cross(e1, e2)
+
+    d00 = np.sum(e1 * e1, axis=-1)
+    d01 = np.sum(e1 * e2, axis=-1)
+    d11 = np.sum(e2 * e2, axis=-1)
+    denom = d00 * d11 - d01 * d01
+    safe = np.where(np.abs(denom) > 1e-20, denom, 1.0)
+    w1 = (d11[:, None] * e1 - d01[:, None] * e2) / safe[:, None]
+    w2 = (d00[:, None] * e2 - d01[:, None] * e1) / safe[:, None]
+
+    out = np.zeros((TRI_CONST_ROWS, T), np.float32)
+    out[_NX:_NZ + 1] = n.T
+    out[_D0] = np.sum(n * v0, axis=-1)
+    out[_W1X:_W1Z + 1] = w1.T
+    out[_C1] = -np.sum(w1 * v0, axis=-1)
+    out[_W2X:_W2Z + 1] = w2.T
+    out[_C2] = -np.sum(w2 * v0, axis=-1)
+    valid = (np.arange(T) < t) & (np.abs(denom) > 1e-20)
+    out[_VALID] = valid.astype(np.float32)
+    return out
+
+
+def _ray_kernel(rays_ref, tri_ref, out_ref):
+    """rays_ref: [BLOCK_RAYS, 8] (ox oy oz dx dy dz pad pad);
+    tri_ref: [16, T]; out_ref: [BLOCK_RAYS, 1] nearest-hit t (inf miss)."""
+    r = rays_ref[:]
+    ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
+    dx, dy, dz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
+
+    tc = tri_ref[:]
+    nx, ny, nz = tc[_NX:_NX + 1, :], tc[_NY:_NY + 1, :], tc[_NZ:_NZ + 1, :]
+    d0 = tc[_D0:_D0 + 1, :]
+    w1x, w1y, w1z = tc[_W1X:_W1X + 1, :], tc[_W1Y:_W1Y + 1, :], tc[_W1Z:_W1Z + 1, :]
+    c1 = tc[_C1:_C1 + 1, :]
+    w2x, w2y, w2z = tc[_W2X:_W2X + 1, :], tc[_W2Y:_W2Y + 1, :], tc[_W2Z:_W2Z + 1, :]
+    c2 = tc[_C2:_C2 + 1, :]
+    valid = tc[_VALID:_VALID + 1, :] > 0.0
+
+    nd = dx * nx + dy * ny + dz * nz  # [BR, T]
+    no = ox * nx + oy * ny + oz * nz
+    nd_ok = jnp.abs(nd) > 1e-12
+    t = (d0 - no) / jnp.where(nd_ok, nd, 1.0)
+
+    u = (ox * w1x + oy * w1y + oz * w1z) + t * (dx * w1x + dy * w1y + dz * w1z) + c1
+    v = (ox * w2x + oy * w2y + oz * w2z) + t * (dx * w2x + dy * w2y + dz * w2z) + c2
+
+    hit = (
+        nd_ok
+        & (t > 0.0)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & valid
+    )
+    t = jnp.where(hit, t, jnp.float32(np.inf))
+    out_ref[:] = jnp.min(t, axis=1, keepdims=True)
+
+
+def _ray_pallas_call(rays: jax.Array, tri_consts: jax.Array) -> jax.Array:
+    """rays: [R_pad, 8] f32 (R_pad multiple of BLOCK_RAYS);
+    tri_consts: [16, T]. Returns t [R_pad]."""
+    R = rays.shape[0]
+    T = tri_consts.shape[1]
+    grid = (R // BLOCK_RAYS,)
+    out = pl.pallas_call(
+        _ray_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK_RAYS, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TRI_CONST_ROWS, T), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK_RAYS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, 1), jnp.float32),
+    )(rays, tri_consts)
+    return out[:, 0]
+
+
+@jax.custom_batching.custom_vmap
+def _ray_vs_tris_flat(o: jax.Array, d: jax.Array,
+                      tri_consts: jax.Array) -> jax.Array:
+    """o, d: [R, 3] -> t [R]. Under vmap the batch axis is FLATTENED into
+    the ray axis (instead of becoming a tiny padded grid dim per world) so
+    kernel blocks stay full."""
+    R = o.shape[0]
+    R_pad = -(-max(R, 1) // BLOCK_RAYS) * BLOCK_RAYS
+    rays = jnp.zeros((R_pad, 8), jnp.float32)
+    rays = rays.at[:R, 0:3].set(o)
+    rays = rays.at[:R, 3:6].set(d)
+    return _ray_pallas_call(rays, tri_consts)[:R]
+
+
+@_ray_vs_tris_flat.def_vmap
+def _ray_vs_tris_flat_vmap(axis_size, in_batched, o, d, tri_consts):
+    ob, db, tb = in_batched
+    B = axis_size
+
+    def bcast(x, batched):
+        if batched:
+            return x.reshape((-1,) + x.shape[2:])
+        return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+            (-1,) + x.shape[1:]
+        )
+
+    assert not tb, "triangle constants must not be batched"
+    o2 = bcast(o, ob)
+    d2 = bcast(d, db)
+    out = _ray_vs_tris_flat(o2, d2, tri_consts)
+    return out.reshape(B, -1), True
+
+
+def ray_vs_tris_pallas(o: jax.Array, d: jax.Array, tri_consts: jax.Array,
+                       t_max=INF) -> jax.Array:
+    """Batched nearest-hit ray vs tri-soup. o, d: [..., 3]; returns [...]
+    (inf on miss). Drop-in for ops.raycast.ray_vs_tris's contract."""
+    batch_shape = o.shape[:-1]
+    R = int(np.prod(batch_shape)) if batch_shape else 1
+    t = _ray_vs_tris_flat(
+        o.reshape(R, 3), d.reshape(R, 3), tri_consts
+    ).reshape(batch_shape)
+    return jnp.where(t <= t_max, t, INF)
+
+
+# ---------------------------------------------------------------------------
+# Ray fans (shared-origin bundles: lidar + LOS per agent)
+# ---------------------------------------------------------------------------
+#
+# All of an agent's sensor rays share one origin (eye position), so the
+# origin-dependent halves of the intersection test (n.o - d0, w1.o + c1,
+# w2.o + c2 — 15 of the ~45 per-pair flops) hoist out of the pair loop, and
+# the direction dots (n.d, w1.d, w2.d) become ONE bf16 MXU matmul per fan
+# ([F, 4] @ [4, 3T]) — directions are unit-scale so bf16's ~0.3% relative
+# error only perturbs sensor distances, not game-state collision.
+
+FANS_PER_BLOCK = 8
+
+
+def pack_dir_consts(tri_consts: np.ndarray) -> np.ndarray:
+    """[16, T] f32 ray constants -> [16, 3T] bf16 direction-dot matrix
+    (column groups: n | w1 | w2; rows 0-2 = xyz)."""
+    T = tri_consts.shape[1]
+    out = np.zeros((16, 3 * T), np.float32)
+    out[0:3, 0:T] = tri_consts[_NX:_NZ + 1]
+    out[0:3, T:2 * T] = tri_consts[_W1X:_W1Z + 1]
+    out[0:3, 2 * T:3 * T] = tri_consts[_W2X:_W2Z + 1]
+    return out.astype(jnp.bfloat16)
+
+
+def _make_fan_kernel(F: int, T: int):
+    def kernel(orig_ref, dirs_ref, tri_ref, dirmat_ref, out_ref):
+        # orig_ref: [FPB, 8] SMEM f32 (fan base origin xyz);
+        # dirs_ref: [FPB*F, 8] VMEM f32 (dx dy dz z_offset — per-ray origin
+        # is base + (0, 0, z_offset)); tri_ref: [16, T] f32;
+        # dirmat_ref: [16, 3T] bf16
+        tc = tri_ref[:]
+        nx, ny, nz = tc[_NX:_NX + 1], tc[_NY:_NY + 1], tc[_NZ:_NZ + 1]
+        d0 = tc[_D0:_D0 + 1]
+        w1x, w1y, w1z = tc[_W1X:_W1X + 1], tc[_W1Y:_W1Y + 1], tc[_W1Z:_W1Z + 1]
+        c1 = tc[_C1:_C1 + 1]
+        w2x, w2y, w2z = tc[_W2X:_W2X + 1], tc[_W2Y:_W2Y + 1], tc[_W2Z:_W2Z + 1]
+        c2 = tc[_C2:_C2 + 1]
+        valid = tc[_VALID:_VALID + 1] > 0.0
+
+        dirs = dirs_ref[:]
+        # bf16 MXU matmul only sees dx dy dz (row 3 of every group is 0)
+        db = dirs[:, 0:4].astype(jnp.bfloat16)  # [FPB*F, 4]
+        dm = dirmat_ref[0:4, :]  # [4, 3T] bf16
+        dd = jnp.dot(db, dm, preferred_element_type=jnp.float32)
+        zoff = dirs[:, 3:4]  # [FPB*F, 1] f32 per-ray origin z offset
+
+        inf = jnp.float32(np.inf)
+        for f in range(FANS_PER_BLOCK):
+            ox = orig_ref[f, 0]
+            oy = orig_ref[f, 1]
+            oz = orig_ref[f, 2]
+            no2 = d0 - (ox * nx + oy * ny + oz * nz)  # [1, T]
+            u0 = ox * w1x + oy * w1y + oz * w1z + c1
+            v0 = ox * w2x + oy * w2y + oz * w2z + c2
+
+            sl = slice(f * F, (f + 1) * F)
+            nd = dd[sl, 0:T]
+            w1d = dd[sl, T:2 * T]
+            w2d = dd[sl, 2 * T:3 * T]
+            z = zoff[sl]  # [F, 1]
+
+            nd_ok = jnp.abs(nd) > 1e-7
+            t = (no2 - z * nz) / jnp.where(nd_ok, nd, jnp.float32(1.0))
+            u = (u0 + z * w1z) + t * w1d
+            v = (v0 + z * w2z) + t * w2d
+            hit = (
+                nd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0)
+                & (u + v <= 1.0) & valid
+            )
+            tt = jnp.where(hit, t, inf)
+            out_ref[sl, :] = jnp.min(tt, axis=1, keepdims=True)
+
+    return kernel
+
+
+_FAN_FLAT_CACHE = {}
+
+
+def _get_fan_flat(F: int):
+    """custom_vmap flat entry: (origins [N, 3], dirs [N, F, 3], tri_consts,
+    dir_consts) -> t [N, F]; vmap flattens batch into the fan axis."""
+    if F in _FAN_FLAT_CACHE:
+        return _FAN_FLAT_CACHE[F]
+
+    FPB = FANS_PER_BLOCK
+
+    def call(origs, dirs, tri_consts, dir_consts):
+        N = origs.shape[0]
+        T = tri_consts.shape[1]
+        kernel = _make_fan_kernel(F, T)
+        out = pl.pallas_call(
+            kernel,
+            grid=(N // FPB,),
+            in_specs=[
+                pl.BlockSpec(
+                    (FPB, 8), lambda i: (i, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (FPB * F, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (TRI_CONST_ROWS, T), lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (16, 3 * T), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (FPB * F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((N * F, 1), jnp.float32),
+        )(origs, dirs, tri_consts, dir_consts)
+        return out
+
+    @jax.custom_batching.custom_vmap
+    def fan_flat(origins, zoffs, dirs, tri_consts, dir_consts):
+        N = origins.shape[0]
+        N_pad = -(-max(N, 1) // FPB) * FPB
+        origs = jnp.zeros((N_pad, 8), jnp.float32)
+        origs = origs.at[:N, 0:3].set(origins)
+        dirs8 = jnp.zeros((N_pad * F, 8), jnp.float32)
+        dirs8 = dirs8.at[: N * F, 0:3].set(dirs.reshape(N * F, 3))
+        dirs8 = dirs8.at[: N * F, 3].set(zoffs.reshape(N * F))
+        out = call(origs, dirs8, tri_consts, dir_consts)
+        return out[: N * F, 0].reshape(N, F)
+
+    @fan_flat.def_vmap
+    def _fan_vmap(axis_size, in_batched, origins, zoffs, dirs, tri_consts,
+                  dir_consts):
+        ob, zb, db, tb, dcb = in_batched
+        assert not tb and not dcb
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        out = fan_flat(bcast(origins, ob), bcast(zoffs, zb), bcast(dirs, db),
+                       tri_consts, dir_consts)
+        return out.reshape((B, -1) + out.shape[1:]), True
+
+    _FAN_FLAT_CACHE[F] = fan_flat
+    return fan_flat
+
+
+def ray_fans_vs_tris_pallas(origins, zoffs, dirs, soup, t_max=INF):
+    """Nearest-hit for bundles of rays sharing a base origin.
+    origins: [..., 3] fan base; zoffs: [..., F] per-ray origin z offset;
+    dirs: [..., F, 3] (any scale — t is in |d| units); returns t [..., F]
+    (inf on miss)."""
+    batch_shape = origins.shape[:-1]
+    F = dirs.shape[-2]
+    N = int(np.prod(batch_shape)) if batch_shape else 1
+    fan_flat = _get_fan_flat(F)
+    t = fan_flat(
+        origins.reshape(N, 3),
+        zoffs.reshape(N, F),
+        dirs.reshape(N, F, 3),
+        soup.packed,
+        soup.dir_packed,
+    ).reshape(batch_shape + (F,))
+    return jnp.where(t <= t_max, t, INF)
+
+
+# ---------------------------------------------------------------------------
+# Sphere cast
+# ---------------------------------------------------------------------------
+#
+# Per-tri packed geometry for the sphere-cast kernel, [16, T]:
+#   rows 0-2   v0            rows 3-5  e1         rows 6-8  e2
+#   rows 9-11  unit normal   row  12   valid
+SC_ROWS = 16
+
+
+def pack_sc_consts(tri_verts: np.ndarray, pad_to: int = 256) -> np.ndarray:
+    t = tri_verts.shape[0]
+    T = -(-max(t, 1) // pad_to) * pad_to
+    v = np.zeros((T, 3, 3), np.float64)
+    v[:t] = tri_verts
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    n = np.cross(e1, e2)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(ln > 1e-20, n / np.maximum(ln, 1e-30), 0.0)
+    out = np.zeros((SC_ROWS, T), np.float32)
+    out[0:3] = v0.T
+    out[3:6] = e1.T
+    out[6:9] = e2.T
+    out[9:12] = n.T
+    out[12] = ((np.arange(T) < t) & (ln[:, 0] > 1e-20)).astype(np.float32)
+    return out
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _sc_closest_dist2(px, py, pz, v0, e1, e2):
+    """Squared distance from points p ([BR, 1] components) to triangles
+    (component rows [1, T]) — Ericson RTCD 5.1.5 specialized to distance
+    only. Returns [BR, T]."""
+    apx, apy, apz = px - v0[0], py - v0[1], pz - v0[2]
+    d1 = _dot3(e1[0], e1[1], e1[2], apx, apy, apz)
+    d2 = _dot3(e2[0], e2[1], e2[2], apx, apy, apz)
+
+    bpx, bpy, bpz = apx - e1[0], apy - e1[1], apz - e1[2]
+    d3 = _dot3(e1[0], e1[1], e1[2], bpx, bpy, bpz)
+    d4 = _dot3(e2[0], e2[1], e2[2], bpx, bpy, bpz)
+
+    cpx, cpy, cpz = apx - e2[0], apy - e2[1], apz - e2[2]
+    d5 = _dot3(e1[0], e1[1], e1[2], cpx, cpy, cpz)
+    d6 = _dot3(e2[0], e2[1], e2[2], cpx, cpy, cpz)
+
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+
+    one = jnp.float32(1.0)
+    v_ab = d1 / jnp.where(jnp.abs(d1 - d3) > 1e-20, d1 - d3, one)
+    w_ac = d2 / jnp.where(jnp.abs(d2 - d6) > 1e-20, d2 - d6, one)
+    denom_va = (d4 - d3) + (d5 - d6)
+    w_bc = (d4 - d3) / jnp.where(jnp.abs(denom_va) > 1e-20, denom_va, one)
+
+    face_den = va + vb + vc
+    inv_face = one / jnp.where(jnp.abs(face_den) > 1e-20, face_den, one)
+    v_f = vb * inv_face
+    w_f = vc * inv_face
+
+    in_a = (d1 <= 0.0) & (d2 <= 0.0)
+    in_b = (d3 >= 0.0) & (d4 <= d3)
+    in_c = (d6 >= 0.0) & (d5 <= d6)
+    on_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
+    on_ac = (vb <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0)
+    on_bc = (va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0)
+
+    # barycentric (v, w) of the closest point per region
+    v_out = v_f
+    w_out = w_f
+    v_out = jnp.where(on_bc, one - w_bc, v_out)
+    w_out = jnp.where(on_bc, w_bc, w_out)
+    v_out = jnp.where(on_ac, jnp.float32(0.0), v_out)
+    w_out = jnp.where(on_ac, w_ac, w_out)
+    v_out = jnp.where(on_ab, v_ab, v_out)
+    w_out = jnp.where(on_ab, jnp.float32(0.0), w_out)
+    v_out = jnp.where(in_c, jnp.float32(0.0), v_out)
+    w_out = jnp.where(in_c, one, w_out)
+    v_out = jnp.where(in_b, one, v_out)
+    w_out = jnp.where(in_b, jnp.float32(0.0), w_out)
+    v_out = jnp.where(in_a, jnp.float32(0.0), v_out)
+    w_out = jnp.where(in_a, jnp.float32(0.0), w_out)
+
+    qx = v0[0] + v_out * e1[0] + w_out * e2[0] - px
+    qy = v0[1] + v_out * e1[1] + w_out * e2[1] - py
+    qz = v0[2] + v_out * e1[2] + w_out * e2[2] - pz
+    return qx * qx + qy * qy + qz * qz
+
+
+def _ray_capsule_t(ox, oy, oz, dx, dy, dz, p0, sx, sy, sz, len2, r):
+    """Nearest t of rays vs capsules around segments p0..p0+s (all component
+    args broadcast to [BR, T]); returns [BR, T] (inf miss)."""
+    mx, my, mz = ox - p0[0], oy - p0[1], oz - p0[2]
+    md = _dot3(mx, my, mz, dx, dy, dz)
+    ms = _dot3(mx, my, mz, sx, sy, sz)
+    ds = _dot3(dx, dy, dz, sx, sy, sz)
+    mm = _dot3(mx, my, mz, mx, my, mz)
+
+    inv_l2 = 1.0 / jnp.maximum(len2, 1e-20)
+    a = 1.0 - ds * ds * inv_l2  # |d| = 1
+    b = md - ms * ds * inv_l2
+    c = mm - ms * ms * inv_l2 - r * r
+
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safe_a = jnp.where(jnp.abs(a) > 1e-12, a, jnp.float32(1.0))
+    t_cyl = (-b - sq) / safe_a
+    s_hit = ms + t_cyl * ds
+    ok = (
+        (jnp.abs(a) > 1e-12)
+        & (disc >= 0.0)
+        & (t_cyl >= 0.0)
+        & (s_hit >= 0.0)
+        & (s_hit <= len2)
+    )
+    return jnp.where(ok, t_cyl, jnp.float32(np.inf))
+
+
+def _ray_sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
+    mx, my, mz = ox - cx, oy - cy, oz - cz
+    b = _dot3(mx, my, mz, dx, dy, dz)
+    c = _dot3(mx, my, mz, mx, my, mz) - r * r
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = -b - sq
+    ok = (disc >= 0.0) & (t >= 0.0)
+    return jnp.where(ok, t, jnp.float32(np.inf))
+
+
+def _make_sc_kernel(r: float):
+    rr = float(r)  # baked-in Python scalar (traced consts can't be captured)
+
+    def kernel(rays_ref, tri_ref, t_ref, idx_ref):
+        rays = rays_ref[:]
+        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+
+        tc = tri_ref[:]
+        v0 = (tc[0:1, :], tc[1:2, :], tc[2:3, :])
+        e1 = (tc[3:4, :], tc[4:5, :], tc[5:6, :])
+        e2 = (tc[6:7, :], tc[7:8, :], tc[8:9, :])
+        nx, ny, nz = tc[9:10, :], tc[10:11, :], tc[11:12, :]
+        valid = tc[12:13, :] > 0.0
+
+        # start overlap: closest point within r of origin -> t = 0
+        dist2 = _sc_closest_dist2(ox, oy, oz, v0, e1, e2)
+        overlap = dist2 <= rr * rr
+
+        # face hit: ray vs plane offset by r toward the sphere; contact
+        # point inside the face (barycentrics of contact)
+        nd = _dot3(nx, ny, nz, dx, dy, dz)
+        h = _dot3(nx, ny, nz, ox - v0[0], oy - v0[1], oz - v0[2])
+        sign = jnp.where(h >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+        nd_ok = jnp.abs(nd) > 1e-9
+        t_face = (sign * rr - h) / jnp.where(nd_ok, nd, jnp.float32(1.0))
+        # contact point
+        cx = ox + t_face * dx - sign * rr * nx - v0[0]
+        cy = oy + t_face * dy - sign * rr * ny - v0[1]
+        cz = oz + t_face * dz - sign * rr * nz - v0[2]
+        d00 = _dot3(e1[0], e1[1], e1[2], e1[0], e1[1], e1[2])
+        d01 = _dot3(e1[0], e1[1], e1[2], e2[0], e2[1], e2[2])
+        d11 = _dot3(e2[0], e2[1], e2[2], e2[0], e2[1], e2[2])
+        d20 = _dot3(cx, cy, cz, e1[0], e1[1], e1[2])
+        d21 = _dot3(cx, cy, cz, e2[0], e2[1], e2[2])
+        den = d00 * d11 - d01 * d01
+        inv_den = jnp.where(jnp.abs(den) > 1e-20, 1.0 / den, jnp.float32(0.0))
+        bv = (d11 * d20 - d01 * d21) * inv_den
+        bw = (d00 * d21 - d01 * d20) * inv_den
+        face_ok = (
+            nd_ok & (t_face >= 0.0) & (bv >= 0.0) & (bw >= 0.0)
+            & (bv + bw <= 1.0)
+        )
+        t_face = jnp.where(face_ok, t_face, jnp.float32(np.inf))
+
+        # edge capsules (3 cylinders + 3 vertex spheres)
+        e12 = (e2[0] - e1[0], e2[1] - e1[1], e2[2] - e1[2])
+        v1 = (v0[0] + e1[0], v0[1] + e1[1], v0[2] + e1[2])
+        l12 = _dot3(e12[0], e12[1], e12[2], e12[0], e12[1], e12[2])
+        t_edge = _ray_capsule_t(ox, oy, oz, dx, dy, dz, v0,
+                                e1[0], e1[1], e1[2], d00, rr)
+        t_edge = jnp.minimum(
+            t_edge,
+            _ray_capsule_t(ox, oy, oz, dx, dy, dz, v0,
+                           e2[0], e2[1], e2[2], d11, rr),
+        )
+        t_edge = jnp.minimum(
+            t_edge,
+            _ray_capsule_t(ox, oy, oz, dx, dy, dz, v1,
+                           e12[0], e12[1], e12[2], l12, rr),
+        )
+        v2 = (v0[0] + e2[0], v0[1] + e2[1], v0[2] + e2[2])
+        for c in (v0, v1, v2):
+            t_edge = jnp.minimum(
+                t_edge,
+                _ray_sphere_t(ox, oy, oz, dx, dy, dz, c[0], c[1], c[2], rr),
+            )
+
+        t = jnp.minimum(t_face, t_edge)
+        t = jnp.where(overlap, jnp.float32(0.0), t)
+        t = jnp.where(valid, t, jnp.float32(np.inf))
+
+        T = t.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        t_min = jnp.min(t, axis=1, keepdims=True)
+        idx = jnp.min(
+            jnp.where(t == t_min, lane, jnp.int32(2 ** 30)),
+            axis=1,
+            keepdims=True,
+        )
+        t_ref[:] = t_min
+        idx_ref[:] = idx
+
+    return kernel
+
+
+BLOCK_CASTS = 128
+
+# one custom_vmap flat entry per static radius (r is baked into the kernel)
+_SC_FLAT_CACHE = {}
+
+
+def _get_sc_flat(r: float):
+    if r in _SC_FLAT_CACHE:
+        return _SC_FLAT_CACHE[r]
+
+    kernel = _make_sc_kernel(r)
+
+    def call(rays, sc_packed):
+        R = rays.shape[0]
+        T = sc_packed.shape[1]
+        return pl.pallas_call(
+            kernel,
+            grid=(R // BLOCK_CASTS,),
+            in_specs=[
+                pl.BlockSpec(
+                    (BLOCK_CASTS, 8), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (SC_ROWS, T), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (BLOCK_CASTS, 1), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (BLOCK_CASTS, 1), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            ],
+        )(rays, sc_packed)
+
+    @jax.custom_batching.custom_vmap
+    def sc_flat(o, d, sc_packed):
+        """o, d: [R, 3] -> (t [R], tri idx [R]). vmap flattens the batch
+        axis into the cast axis (full kernel blocks)."""
+        R = o.shape[0]
+        R_pad = -(-max(R, 1) // BLOCK_CASTS) * BLOCK_CASTS
+        rays = jnp.zeros((R_pad, 8), jnp.float32)
+        rays = rays.at[:R, 0:3].set(o)
+        rays = rays.at[:R, 3:6].set(d)
+        t_out, idx_out = call(rays, sc_packed)
+        return t_out[:R, 0], idx_out[:R, 0]
+
+    @sc_flat.def_vmap
+    def _sc_vmap(axis_size, in_batched, o, d, sc_packed):
+        ob, db, pb = in_batched
+        assert not pb
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        t, idx = sc_flat(bcast(o, ob), bcast(d, db), sc_packed)
+        return (t.reshape(B, -1), idx.reshape(B, -1)), (True, True)
+
+    _SC_FLAT_CACHE[r] = sc_flat
+    return sc_flat
+
+
+def sphere_cast_vs_tris_pallas(o, d, r: float, soup, t_max=INF):
+    """Drop-in for ops.raycast.sphere_cast_vs_tris on TPU: fused Pallas
+    nearest-hit sweep returning (t [...], normal [..., 3]).
+
+    The kernel computes (t, winning tri); the contact normal is
+    reconstructed outside for the single winning triangle per cast
+    (face normal vs depenetration/edge normal, matching the dense path)."""
+    from . import raycast as rc
+
+    batch_shape = o.shape[:-1]
+    R = int(np.prod(batch_shape)) if batch_shape else 1
+
+    sc_flat = _get_sc_flat(float(r))
+    t, idx = sc_flat(o.reshape(R, 3), d.reshape(R, 3), soup.sc_packed)
+    idx = jnp.clip(idx, 0, soup.v0.shape[0] - 1)
+
+    # winner-only normal reconstruction (one tri per cast)
+    of = o.reshape(R, 3)
+    df = d.reshape(R, 3)
+    v0 = soup.v0[idx]
+    e1 = soup.e1[idx]
+    e2 = soup.e2[idx]
+    n = soup.normal[idx]
+
+    finite_t = jnp.where(jnp.isfinite(t), t, 0.0)
+    hit_center = of + finite_t[:, None] * df
+    closest = rc._closest_point_on_tri(hit_center, v0, e1, e2)
+    depen = hit_center - closest
+    dlen = jnp.linalg.norm(depen, axis=-1, keepdims=True)
+    edge_n = jnp.where(
+        dlen > 1e-12, depen / jnp.maximum(dlen, 1e-30),
+        jnp.array([0.0, 0.0, 1.0]),
+    )
+
+    h = jnp.sum((of - v0) * n, axis=-1)
+    sign = jnp.where(h >= 0.0, 1.0, -1.0)
+    face_n = sign[:, None] * n
+    # face hit iff the contact normal aligns with the face plane offset:
+    # |center - closest| ~ r and closest strictly inside -> depen ~ +-n
+    is_face = jnp.abs(jnp.sum(edge_n * n, axis=-1)) > 0.999
+    normal = jnp.where(is_face[:, None], face_n, edge_n)
+    normal = jnp.where((t > 0.0)[:, None] & jnp.isfinite(t)[:, None],
+                       normal, normal)
+
+    missed = ~jnp.isfinite(t) | (t > t_max)
+    t_final = jnp.where(missed, INF, t)
+    normal = jnp.where(missed[:, None], 0.0, normal)
+    return (
+        t_final.reshape(batch_shape),
+        normal.reshape(batch_shape + (3,)),
+    )

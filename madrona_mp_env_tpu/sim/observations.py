@@ -22,7 +22,7 @@ from .. import consts
 from ..config import EnvConfig, Task
 from ..assets.map_data import MapData
 from ..ops import geom
-from ..ops.raycast import ray_vs_capsules, ray_vs_tris
+from ..ops.raycast import ray_fans_vs_tris, ray_vs_capsules, ray_vs_tris
 from .combat import view_height
 from .types import WorldState, SELF_OB_DIM, OTHER_OB_DIM
 
@@ -37,10 +37,13 @@ _WX, _WY = (lambda v: (v[0], v[1]))(
 _HX, _HY = (lambda x, y: (x / math.hypot(x, y), y / math.hypot(x, y)))(_F, 1.0)
 
 
-def _trace_world_and_agents(m: MapData, o, d, pos, alive_mask, self_idx=None):
+def _trace_world_and_agents(m: MapData, o, d, pos, alive_mask, self_idx=None,
+                            t_world=None):
     """Shared ray query: (t, hit_agent) vs world tris + alive agent capsules.
-    hit_agent = -1 for wall; t = inf on miss. o/d: [..., 3]."""
-    t_world = ray_vs_tris(o, d, m.tris)
+    hit_agent = -1 for wall; t = inf on miss. o/d: [..., 3]. ``t_world`` may
+    be precomputed (fused sensor fan kernel) to skip the tri sweep."""
+    if t_world is None:
+        t_world = ray_vs_tris(o, d, m.tris)
     t_caps = ray_vs_capsules(
         o,
         d,
@@ -62,13 +65,10 @@ def _trace_world_and_agents(m: MapData, o, d, pos, alive_mask, self_idx=None):
     return t, hit_agent
 
 
-def visibility_system(cfg: EnvConfig, m: MapData, state: WorldState):
-    """can_see[a, o_slot]: agent a sees opponent slot o_slot.
-
-    4 sample points per target (bottom, eye, eye±0.9r along the viewer's aim
-    right axis), each needing view-frustum containment + an unobstructed ray
-    whose first hit is the target (isAgentVisible, utils.cpp:186-271).
-    """
+def _los_geometry(cfg: EnvConfig, state: WorldState):
+    """LOS sample rays: 4 points per opponent (isAgentVisible,
+    utils.cpp:186-271). Returns the per-ray geometry shared by
+    visibility_system and the fused sensor fan."""
     A = cfg.num_agents
     ts = cfg.team_size
     teams = jnp.arange(A, dtype=jnp.int32) // ts
@@ -119,16 +119,126 @@ def visibility_system(cfg: EnvConfig, m: MapData, state: WorldState):
     far_enough = dist >= consts.agent_radius
 
     ray_d = to_s / jnp.maximum(dist[..., None], 1e-30)
-    o = jnp.broadcast_to(eye[:, None, None, :], ray_d.shape)
+    return {
+        "eye": eye,
+        "opp_idx": opp_idx,
+        "ray_d": ray_d,  # [A, ts, 4, 3]
+        "pretests": in_front & in_frustum & far_enough,
+    }
+
+
+def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState):
+    """ONE fused ray-fan launch for all of an agent's per-step sensor rays
+    (LOS samples + fwd/rear lidar): each agent's rays share a base origin
+    (its position; per-ray z offset), so the TPU fan kernel hoists the
+    origin-dependent intersection terms and batches the direction dots on
+    the MXU. Returns geometry + world-hit distances for
+    visibility_system / lidar_system."""
+    A = cfg.num_agents
+    ts = cfg.team_size
+
+    los = _los_geometry(cfg, state)
+    los_dirs = los["ray_d"].reshape(A, ts * 4, 3)
+    eye_z = view_height(state.stand_cur)  # LOS origin z offset
+    los_zoff = jnp.broadcast_to(eye_z[:, None], (A, ts * 4))
+
+    fwd_dirs, fwd_z = _lidar_fan_dirs(
+        cfg, state, consts.fwd_lidar_width, consts.fwd_lidar_height,
+        0.75 * consts.pi, 0.5 * (1.0 - 0.75) * consts.pi, aim_frame=True,
+    )
+    rear_dirs, rear_z = _lidar_fan_dirs(
+        cfg, state, consts.rear_lidar_width, consts.rear_lidar_height,
+        -consts.pi, 0.0, aim_frame=False,
+    )
+
+    n_fwd = consts.fwd_lidar_height * consts.fwd_lidar_width
+    n_rear = consts.rear_lidar_height * consts.rear_lidar_width
+    dirs = jnp.concatenate(
+        [
+            los_dirs,
+            fwd_dirs.reshape(A, n_fwd, 3),
+            rear_dirs.reshape(A, n_rear, 3),
+        ],
+        axis=1,
+    )
+    zoffs = jnp.concatenate(
+        [los_zoff, fwd_z.reshape(A, n_fwd), rear_z.reshape(A, n_rear)],
+        axis=1,
+    )
+
+    t = ray_fans_vs_tris(state.pos, zoffs, dirs, m.tris)
+
+    o = state.pos[:, None, :] + jnp.stack(
+        [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
+    )
+    H_f, W_f = consts.fwd_lidar_height, consts.fwd_lidar_width
+    H_r, W_r = consts.rear_lidar_height, consts.rear_lidar_width
+    return {
+        "los": los,
+        "los_t": t[:, : ts * 4].reshape(A, ts, 4),
+        "fwd_t": t[:, ts * 4 : ts * 4 + n_fwd].reshape(A, H_f, W_f),
+        "rear_t": t[:, ts * 4 + n_fwd :].reshape(A, H_r, W_r),
+        "fwd_dirs": fwd_dirs,
+        "rear_dirs": rear_dirs,
+        "fwd_o": o[:, ts * 4 : ts * 4 + n_fwd].reshape(A, H_f, W_f, 3),
+        "rear_o": o[:, ts * 4 + n_fwd :].reshape(A, H_r, W_r, 3),
+    }
+
+
+def _lidar_fan_dirs(cfg, state, n_w, n_h, theta_range, theta_offset,
+                    aim_frame):
+    """Lidar beam directions [A, H, W, 3] + per-ray origin z offsets [A, H, W]
+    (pvpLidarSystem geometry, sim.cpp:3324-3506)."""
+    A = cfg.num_agents
+    if aim_frame:
+        fwd, right, _ = geom.aim_vectors(state.yaw, state.pitch)
+    else:
+        fwd, right = geom.body_fwd_right(state.yaw)
+
+    idx = jnp.arange(n_w, dtype=jnp.float32)
+    theta = theta_range * (idx / (n_w - 1)) + theta_offset  # [W]
+    x = -jnp.cos(theta)
+    y = jnp.sin(theta)
+    d = (
+        x[None, :, None] * right[:, None, :]
+        + y[None, :, None] * fwd[:, None, :]
+    )
+    d = geom.normalize(d)  # [A, W, 3]
+    d = jnp.broadcast_to(d[:, None, :, :], (A, n_h, n_w, 3))
+
+    top_height = view_height(state.stand_cur) + consts.agent_radius
+    h_range = top_height - 2.0 * consts.agent_radius
+    hs = jnp.arange(n_h, dtype=jnp.float32) / (n_h - 1)  # [H]
+    z = consts.agent_radius + h_range[:, None] * hs[None, :]  # [A, H]
+    z = jnp.broadcast_to(z[:, :, None], (A, n_h, n_w))
+    return d, z
+
+
+def visibility_system(cfg: EnvConfig, m: MapData, state: WorldState,
+                      sensor=None):
+    """can_see[a, o_slot]: agent a sees opponent slot o_slot — frustum +
+    occlusion per sample ray (isAgentVisible, utils.cpp:186-271)."""
+    A = cfg.num_agents
+
+    if sensor is None:
+        los = _los_geometry(cfg, state)
+        los_t = None
+    else:
+        los = sensor["los"]
+        los_t = sensor["los_t"]  # [A, ts, 4]
+
+    opp_idx = los["opp_idx"]
+    ray_d = los["ray_d"]
+    o = jnp.broadcast_to(los["eye"][:, None, None, :], ray_d.shape)
     self_idx = jnp.broadcast_to(
         jnp.arange(A)[:, None, None], ray_d.shape[:-1]
     )
     t_hit, hit_agent = _trace_world_and_agents(
-        m, o, ray_d, state.pos, state.alive > 0.0, self_idx
+        m, o, ray_d, state.pos, state.alive > 0.0, self_idx, t_world=los_t
     )
     ray_ok = hit_agent == opp_idx[:, :, None]
 
-    sample_visible = in_front & in_frustum & far_enough & ray_ok
+    sample_visible = los["pretests"] & ray_ok
     can_see = jnp.any(sample_visible, axis=-1)  # [A, ts]
 
     viewer_alive = (state.alive > 0.0)[:, None]
@@ -450,7 +560,7 @@ def observations_system(
     return state, obs
 
 
-def lidar_system(cfg: EnvConfig, m: MapData, state: WorldState):
+def lidar_system(cfg: EnvConfig, m: MapData, state: WorldState, sensor=None):
     """pvpLidarSystem (sim.cpp:3324-3506): 2x32 forward fan over 0.75*pi in
     the aim frame + 2x8 rear fan over -pi in the body frame; each beam
     returns (depth, isWall, isTeammate, isOpponent)."""
@@ -458,35 +568,13 @@ def lidar_system(cfg: EnvConfig, m: MapData, state: WorldState):
     teams = jnp.arange(A, dtype=jnp.int32) // cfg.team_size
     max_dist = m.max_dist
 
-    fwd_aim, right_aim, _ = geom.aim_vectors(state.yaw, state.pitch)
-    fwd_body, right_body = geom.body_fwd_right(state.yaw)
-
-    top_height = view_height(state.stand_cur) + consts.agent_radius
-    h_range = top_height - 2.0 * consts.agent_radius
-
-    def fan(fwd, right, n_w, n_h, theta_range, theta_offset):
-        idx = jnp.arange(n_w, dtype=jnp.float32)
-        theta = theta_range * (idx / (n_w - 1)) + theta_offset  # [W]
-        x = -jnp.cos(theta)
-        y = jnp.sin(theta)
-        d = (
-            x[None, :, None] * right[:, None, :]
-            + y[None, :, None] * fwd[:, None, :]
-        )
-        d = geom.normalize(d)  # [A, W, 3]
-        hs = jnp.arange(n_h, dtype=jnp.float32) / (n_h - 1)  # [H]
-        z = consts.agent_radius + h_range[:, None] * hs[None, :]  # [A, H]
-        zvec = jnp.stack(
-            [jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1
-        )  # [A, H, 3]
-        o = state.pos[:, None, None, :] + zvec[:, :, None, :]
-        o = jnp.broadcast_to(o, (A, n_h, n_w, 3))
-        db = jnp.broadcast_to(d[:, None, :, :], (A, n_h, n_w, 3))
+    def fan(o, db, t_world):
+        n_h, n_w = db.shape[1], db.shape[2]
         self_idx = jnp.broadcast_to(
             jnp.arange(A)[:, None, None], (A, n_h, n_w)
         )
         t, hit_agent = _trace_world_and_agents(
-            m, o, db, state.pos, state.alive > 0.0, self_idx
+            m, o, db, state.pos, state.alive > 0.0, self_idx, t_world=t_world
         )
         hit = ~jnp.isinf(t)
         depth = jnp.where(hit, jnp.minimum(t, max_dist), -1.0)
@@ -504,22 +592,11 @@ def lidar_system(cfg: EnvConfig, m: MapData, state: WorldState):
             axis=-1,
         )  # [A, H, W, 4]
 
-    fwd_lidar = fan(
-        fwd_aim,
-        right_aim,
-        consts.fwd_lidar_width,
-        consts.fwd_lidar_height,
-        0.75 * consts.pi,
-        0.5 * (1.0 - 0.75) * consts.pi,
-    )
-    rear_lidar = fan(
-        fwd_body,
-        right_body,
-        consts.rear_lidar_width,
-        consts.rear_lidar_height,
-        -consts.pi,
-        0.0,
-    )
+    if sensor is None:
+        sensor = build_sensor_rays(cfg, m, state)
+
+    fwd_lidar = fan(sensor["fwd_o"], sensor["fwd_dirs"], sensor["fwd_t"])
+    rear_lidar = fan(sensor["rear_o"], sensor["rear_dirs"], sensor["rear_t"])
 
     state = state.replace(prev_fwd_depth=fwd_lidar[..., 0])
     return state, {"fwd_lidar": fwd_lidar, "rear_lidar": rear_lidar}

@@ -121,12 +121,15 @@ def replay_step_world(
         cfg, m, state, init_key_data, sim_ctrl, force_reset
     )
 
-    can_see, opp_idx = observations.visibility_system(cfg, m, state)
+    sensor = observations.build_sensor_rays(cfg, m, state)
+    can_see, opp_idx = observations.visibility_system(
+        cfg, m, state, sensor=sensor
+    )
     masks = observations.opponent_masks_system(cfg, state, can_see, opp_idx)
     state, obs = observations.observations_system(
         cfg, m, state, can_see, opp_idx, masks
     )
-    state, lidar_obs = observations.lidar_system(cfg, m, state)
+    state, lidar_obs = observations.lidar_system(cfg, m, state, sensor=sensor)
     obs.update(lidar_obs)
 
     return state, {
