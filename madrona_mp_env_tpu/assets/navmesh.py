@@ -104,7 +104,12 @@ def build_navmesh_tables(
     tri_pts = verts[tri_indices]  # [T, 3, 3]
     centroids = tri_pts.mean(axis=1)
 
-    adjacency = _tri_adjacency(tri_indices)
+    # native (C++) precompute when built, NumPy fallback otherwise
+    from . import native
+
+    adjacency = native.tri_adjacency(tri_indices)
+    if adjacency is None:
+        adjacency = _tri_adjacency(tri_indices)
 
     next_hop = None
     cache_path = None
@@ -117,7 +122,11 @@ def build_navmesh_tables(
         if os.path.exists(cache_path):
             next_hop = np.load(cache_path)
     if next_hop is None:
-        next_hop = _all_pairs_next_hop(centroids.astype(np.float64), adjacency)
+        next_hop = native.astar_next_hop(centroids, adjacency)
+        if next_hop is None:
+            next_hop = _all_pairs_next_hop(
+                centroids.astype(np.float64), adjacency
+            )
         if cache_path is not None:
             np.save(cache_path, next_hop)
 
