@@ -134,7 +134,7 @@ def load_map(
     zmax[:nz] = zones.aabb_max
     zrot[:nz] = zones.rotations
 
-    weapons = cfg.weapons
+    weapons = cfg.effective_weapons
     mag = np.array([w.mag_size for w in weapons], np.int32)
     rel = np.array([w.reload_time for w in weapons], np.int32)
     dmg = np.array([w.dmg_per_bullet for w in weapons], np.float32)

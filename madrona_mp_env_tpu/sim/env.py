@@ -182,9 +182,12 @@ class Env:
     def step_fn(self):
         """The raw jittable step for embedding in a fused actor-learner."""
         cfg, m, ikd = self.cfg, self.map_data, self.init_key_data
+        collect_log = self.collect_log
 
         def f(state, actions, sim_ctrl, force_reset):
-            g = functools.partial(step_mod.step_world, cfg, m)
+            g = functools.partial(
+                step_mod.step_world, cfg, m, collect_log=collect_log
+            )
             return jax.vmap(g, in_axes=(0, 0, None, None, 0))(
                 state, actions, ikd, sim_ctrl, force_reset
             )

@@ -99,6 +99,10 @@ def init_world(
         reloaded_full_mag=jnp.zeros((A,), bool),
         in_zone=jnp.zeros((A,), bool),
         min_dist_to_zone=jnp.full((A,), jnp.inf, f),
+        subzone_ctrl=jnp.full((8,), -1, i),
+        subzone_contested=jnp.zeros((8,), bool),
+        in_subzone=jnp.zeros((A,), bool),
+        min_dist_subzone=jnp.full((A,), jnp.inf, f),
         damage_dealt=jnp.zeros_like(state.damage_dealt),
         aim_vel_yaw=jnp.zeros((A,), f),
         aim_vel_pitch=jnp.zeros((A,), f),

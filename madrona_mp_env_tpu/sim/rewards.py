@@ -118,6 +118,13 @@ def reward_system(cfg: EnvConfig, m: MapData, state: WorldState) -> WorldState:
     rc = state.reward_coefs
     dead = state.alive == 0.0
 
+    # sub-zone reward variant replaces the task reward when enabled
+    # (subzoneRewardSystem dispatch, sim.cpp:5715-5735)
+    if cfg.has_flag(cfgmod.SimFlags.SubZones):
+        from .subzones import subzone_reward_system
+
+        return subzone_reward_system(cfg, m, state)
+
     if cfg.task == Task.Zone and cfg.reward_mode == RewardMode.Default:
         r = _common_combat_reward(state, rc, 1.0, 1.5, 0.5)
         approach, new_min = _zone_approach(state, m, rc)
@@ -162,6 +169,12 @@ def reward_system(cfg: EnvConfig, m: MapData, state: WorldState) -> WorldState:
             0.0,
         )
         r = r + state.new_cells.astype(jnp.float32) * rc[:, cfgmod.RC_EXPLORE_SCALE]
+    elif cfg.task == Task.Turret:
+        # turretRewardSystem (sim.cpp:4341-4394) — computed in sim/turret.py
+        # (no team-spirit blend; turret rows get 0)
+        from .turret import turret_reward_system
+
+        return turret_reward_system(cfg, state)
     else:
         r = jnp.zeros((A,))
         new_min = state.min_dist_to_zone

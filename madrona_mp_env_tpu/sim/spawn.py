@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import consts
-from ..config import EnvConfig, SimFlags
+from ..config import EnvConfig, SimFlags, Task
 from ..assets.map_data import MapData
 from ..ops import geom
 from .types import Pose, WorldCurriculum, WorldState
@@ -178,6 +178,14 @@ def spawn_agents(
     )
     dead = state.alive == 0.0
 
+    # Turret task: team-1 rows are turrets — they spawn once at random
+    # navmesh points (level_gen.cpp:449-470) and never respawn
+    is_turret_row = jnp.zeros((A,), bool)
+    if cfg.task == Task.Turret:
+        is_turret_row = teams == 1
+        if is_respawn:
+            dead = dead & (~is_turret_row)
+
     learn_shooting = enable_curriculum & (
         state.world_curriculum == WorldCurriculum.LearnShooting
     )
@@ -226,8 +234,20 @@ def spawn_agents(
             row = jnp.asarray(_HARDCODED_SPAWNS)[idx]
             pt, yaw = row[0:3], row[3]
 
+        # Turret task: turrets at navmesh points with random yaw
+        # (level_gen.cpp:462-470)
+        if cfg.task == Task.Turret:
+            t_pt = _sample_navmesh_point(k_nav, m)
+            t_yaw = jax.random.uniform(k_nav, ()) * 2.0 * consts.pi
+            pt = jnp.where(is_turret_row[i], t_pt, pt)
+            yaw = jnp.where(is_turret_row[i], t_yaw, yaw)
+
         # --- spawn bookkeeping (utils.cpp:844-946) ---
-        weapon = jax.random.randint(k_weapon, (), 0, cfg.num_weapon_types)
+        weapon = jax.random.randint(k_weapon, (), 0, len(cfg.weapons))
+        if cfg.task == Task.Turret:
+            from .turret import TURRET_WEAPON_TYPE
+
+            weapon = jnp.where(is_turret_row[i], TURRET_WEAPON_TYPE, weapon)
         if randomize_hp:
             hp = jax.random.randint(k_hp, (), 1, 11).astype(jnp.float32) * 10.0
             mag = jax.random.randint(k_mag, (), 0, m.weapon_mag_size[weapon])

@@ -48,16 +48,28 @@ def step_world(
     )
     actions = bot.apply_bot_actions(cfg, state, actions, bot_acts)
 
+    # 3. turret auto-aim controller drives team-1 rows (turretFireSystem,
+    # sim.cpp:1617-1792)
+    if cfg.task == Task.Turret:
+        from . import turret as turret_mod
+
+        actions = turret_mod.turret_ai_system(cfg, m, state, actions)
+
     # 5. movement chain
     state = movement.movement_system(cfg, state, actions)
     state = movement.aim_systems(cfg, state, actions)
     state = movement.apply_velocity_system(cfg, m, state)
     state = movement.fall_system(cfg, m, state)
 
-    # 6. combat
-    state, fire_events = combat.fire_system(
-        cfg, m, state, actions, rng.system_key(stepk, rng.Salt.FIRE)
-    )
+    # 6. combat (fireSystem, or hlBattleSystem in high-level-move mode)
+    if cfg.highlevel_move:
+        from . import hl_battle
+
+        state, fire_events = hl_battle.hl_battle_system(cfg, m, state)
+    else:
+        state, fire_events = combat.fire_system(
+            cfg, m, state, actions, rng.system_key(stepk, rng.Salt.FIRE)
+        )
 
     # 7. damage / respawn / autoheal
     state = combat.apply_damage_system(cfg, state)
@@ -68,9 +80,13 @@ def step_world(
         )
     state = combat.autoheal_system(cfg, state)
 
-    # 8. zone
+    # 8. zone (+ optional sub-zones, sim.cpp:5542-5556)
     if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
         state = zones.zone_system(cfg, m, state)
+    if cfg.has_flag(SimFlags.SubZones):
+        from . import subzones
+
+        state = subzones.subzone_system(cfg, m, state)
 
     # 9. record export (pvpRecordSystem slot, sim.cpp:5557-5563): captures
     # cur_step BEFORE the match-info increment, exactly like the reference
@@ -88,6 +104,12 @@ def step_world(
     if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
         state, new_captured = zones.zone_match_info_system(
             cfg, m, state, force_reset != 0
+        )
+    elif cfg.task == Task.Turret:
+        from . import turret as turret_mod
+
+        state, new_captured = turret_mod.turret_match_info_system(
+            cfg, state, force_reset != 0
         )
     else:
         state, new_captured = zones.tdm_match_info_system(

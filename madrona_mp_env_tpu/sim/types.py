@@ -146,6 +146,12 @@ class WorldState:
     zone_stats: jax.Array  # [max_zones, 5] i32:
     #   (numSwaps, capturedStepsA, capturedStepsB, contestedSteps, activeSteps)
 
+    # --- sub-zones (SimFlags.SubZones; sim/subzones.py) ---
+    subzone_ctrl: jax.Array  # [8] i32 (-1 none)
+    subzone_contested: jax.Array  # [8] bool
+    in_subzone: jax.Array  # [A] bool
+    min_dist_subzone: jax.Array  # [A] f32
+
     # --- zone state machine ---
     zone_cur: jax.Array  # i32
     zone_controlling: jax.Array  # i32 (-1 none)
@@ -249,6 +255,10 @@ def init_world_state(cfg: EnvConfig, num_goal_regions: int) -> WorldState:
         team_kills=jnp.zeros((2,), i),
         team_points=jnp.zeros((2,), i),
         zone_stats=jnp.zeros((consts.max_zones, 5), i),
+        subzone_ctrl=jnp.full((8,), -1, i),
+        subzone_contested=jnp.zeros((8,), bool),
+        in_subzone=jnp.zeros((A,), bool),
+        min_dist_subzone=jnp.full((A,), jnp.inf, f),
         zone_cur=jnp.zeros((), i),
         zone_controlling=jnp.full((), -1, i),
         zone_contested=jnp.zeros((), bool),

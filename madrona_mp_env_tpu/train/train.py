@@ -60,6 +60,25 @@ def parse_args(argv=None):
     ap.add_argument("--metrics-buffer-size", type=int, default=5)
     ap.add_argument("--ckpt-frequency", type=int, default=500)
     ap.add_argument("--profile-port", type=int, default=None)
+
+    # PBT (jax_train.py:146-232)
+    ap.add_argument("--pbt-past-policies", type=int, default=0)
+    ap.add_argument("--pbt-explore-lr", action="store_true")
+    ap.add_argument("--pbt-update-frequency", type=int, default=0,
+                    help="population update every N updates (0 = off)")
+    ap.add_argument("--self-play-portion", type=float, default=0.0)
+    ap.add_argument("--cross-play-portion", type=float, default=1.0)
+    ap.add_argument("--past-play-portion", type=float, default=0.0)
+
+    # scale-out: shard the world axis over local devices; multi-host via
+    # jax.distributed (SURVEY.md §2.13 TPU-native plan)
+    ap.add_argument("--num-devices", type=int, default=0,
+                    help="devices for the data mesh (0 = single device)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize()")
+    ap.add_argument("--coordinator-address", type=str, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
     return ap.parse_args(argv)
 
 
@@ -87,6 +106,24 @@ def build(args):
     else:
         dtype = jnp.float32
 
+    pbt = None
+    lr_explore = None
+    if args.pbt_ensemble_size > 1 or args.pbt_past_policies > 0:
+        from .pbt import ParamExplore, PBTConfig
+
+        pbt = PBTConfig(
+            num_train_policies=args.pbt_ensemble_size,
+            num_past_policies=args.pbt_past_policies,
+            self_play_portion=args.self_play_portion,
+            cross_play_portion=args.cross_play_portion,
+            past_play_portion=args.past_play_portion,
+        )
+        if args.pbt_explore_lr:
+            # lr explored log-uniform x/÷10 (jax_train.py:227-232)
+            lr_explore = ParamExplore(
+                base=args.lr, min_scale=0.1, max_scale=10.0, log10_scale=True
+            )
+
     tcfg = TrainConfig(
         num_worlds=args.num_worlds,
         steps_per_update=args.steps_per_update,
@@ -103,6 +140,8 @@ def build(args):
             max_grad_norm=0.5,
         ),
         num_train_policies=args.pbt_ensemble_size,
+        pbt=pbt,
+        lr_explore=lr_explore,
         compute_dtype=dtype,
         seed=args.seed,
         metrics_buffer_size=args.metrics_buffer_size,
@@ -122,6 +161,14 @@ def main(argv=None):
     args = parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        # multi-host scale-out: worlds shard over hosts, gradients reduce
+        # over ICI/DCN inside jit (SURVEY.md §2.13)
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     if args.profile_port:
         jax.profiler.start_server(args.profile_port)
 
@@ -134,6 +181,12 @@ def main(argv=None):
             ts, os.path.join(args.ckpt_dir, args.run_name, str(args.restore))
         )
 
+    if args.num_devices:
+        from ..parallel.sharding import make_data_mesh, shard_train_state
+
+        mesh = make_data_mesh(jax.devices()[: args.num_devices])
+        ts = shard_train_state(mesh, ts)
+
     last_time = time.time()
     last_update = int(ts.update_idx)
 
@@ -141,6 +194,15 @@ def main(argv=None):
         for _ in range(args.metrics_buffer_size):
             ts, metrics = mgr.update_iter(ts)
         jax.block_until_ready(metrics["loss"])
+
+        if (
+            args.pbt_update_frequency
+            and int(ts.update_idx) % args.pbt_update_frequency == 0
+        ):
+            # snapshot the best policy into history, then ELO-ranked
+            # truncation selection (update_population, jax_train.py:364-371)
+            ts = mgr.store_past_policy(ts)
+            ts = mgr.update_population(ts)
 
         update_id = int(ts.update_idx)
         now = time.time()

@@ -650,9 +650,11 @@ class TrainingManager:
             "update_idx": ts.update_idx,
             "elo": ts.elo,
             "hyper_params": ts.hyper_params,
-            "past_params": ts.past_params,
             "past_ptr": ts.past_ptr,
         }
+        # orbax rejects zero-size arrays; empty history is omitted
+        if self.P > 0:
+            ckpt["past_params"] = ts.past_params
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(
             os.path.abspath(os.path.join(path, str(int(ts.update_idx)))),
@@ -671,8 +673,9 @@ class TrainingManager:
             "update_idx": ts.update_idx,
             "elo": ts.elo,
             "hyper_params": ts.hyper_params,
-            "past_params": ts.past_params,
             "past_ptr": ts.past_ptr,
         }
+        if self.P > 0:
+            target["past_params"] = ts.past_params
         restored = ckptr.restore(path, item=target)
         return ts.replace(**restored)
