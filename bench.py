@@ -22,6 +22,57 @@ import jax
 import jax.numpy as jnp
 
 
+def bench_train(args):
+    """Fused actor-learner throughput (rollout + GAE + PPO inside one jit —
+    the reference's training FPS metric, scripts/jax_train.py:307-309)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+
+    import madrona_mp_env_tpu as mp
+    from madrona_mp_env_tpu.train import PPOConfig, TrainConfig, TrainingManager
+
+    scene = args.scene or os.path.join(repo, "data", "simple_map")
+    cfg = mp.EnvConfig(
+        task=mp.Task.Zone,
+        team_size=args.team_size,
+        sim_flags=mp.SimFlags.StaggerStarts | mp.SimFlags.RandomFlipTeams,
+    )
+    tcfg = TrainConfig(
+        num_worlds=args.num_worlds,
+        steps_per_update=args.steps_per_update,
+        num_bptt_chunks=4,
+        num_train_policies=args.pbt,
+        ppo=PPOConfig(num_epochs=2, num_minibatches=4),
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        seed=5,
+    )
+    env = mp.Env(cfg, scene, num_worlds=args.num_worlds, seed=5)
+    mgr = TrainingManager(cfg, tcfg, env)
+    ts = mgr.init()
+
+    ts, metrics = mgr.update_iter(ts)  # compile + warmup
+    jax.block_until_ready(metrics["loss"])
+
+    n = max(args.num_updates, 1)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ts, metrics = mgr.update_iter(ts)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    fps = args.num_worlds * args.steps_per_update * n / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train_env_steps_per_sec",
+                "value": round(fps, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(fps / 1.0e6, 4),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-worlds", type=int, default=1024)
@@ -29,10 +80,20 @@ def main():
     ap.add_argument("--team-size", type=int, default=6)
     ap.add_argument("--scene", type=str, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the fused actor-learner update instead")
+    ap.add_argument("--steps-per-update", type=int, default=40)
+    ap.add_argument("--num-updates", type=int, default=3)
+    ap.add_argument("--pbt", type=int, default=1)
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.train:
+        bench_train(args)
+        return
 
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)

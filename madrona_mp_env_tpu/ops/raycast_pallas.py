@@ -216,11 +216,15 @@ def ray_vs_tris_pallas(o: jax.Array, d: jax.Array, tri_consts: jax.Array,
 FANS_PER_BLOCK = 8
 
 
+DIR_K = 128  # contraction dim padded to the MXU width so Mosaic routes the
+# direction dots to the systolic array instead of VPU multiply-adds
+
+
 def pack_dir_consts(tri_consts: np.ndarray) -> np.ndarray:
-    """[16, T] f32 ray constants -> [16, 3T] bf16 direction-dot matrix
-    (column groups: n | w1 | w2; rows 0-2 = xyz)."""
+    """[16, T] f32 ray constants -> [DIR_K, 3T] bf16 direction-dot matrix
+    (column groups: n | w1 | w2; rows 0-2 = xyz, rest zero-padding)."""
     T = tri_consts.shape[1]
-    out = np.zeros((16, 3 * T), np.float32)
+    out = np.zeros((DIR_K, 3 * T), np.float32)
     out[0:3, 0:T] = tri_consts[_NX:_NZ + 1]
     out[0:3, T:2 * T] = tri_consts[_W1X:_W1Z + 1]
     out[0:3, 2 * T:3 * T] = tri_consts[_W2X:_W2Z + 1]
@@ -243,9 +247,10 @@ def _make_fan_kernel(F: int, T: int):
         valid = tc[_VALID:_VALID + 1] > 0.0
 
         dirs = dirs_ref[:]
-        # bf16 MXU matmul only sees dx dy dz (row 3 of every group is 0)
-        db = dirs[:, 0:4].astype(jnp.bfloat16)  # [FPB*F, 4]
-        dm = dirmat_ref[0:4, :]  # [4, 3T] bf16
+        # bf16 MXU matmul over the K-padded direction matrix (rows 3+ are
+        # zero, so the z-offset in column 3 is inert here)
+        db = jnp.pad(dirs, ((0, 0), (0, DIR_K - 8))).astype(jnp.bfloat16)
+        dm = dirmat_ref[:]  # [DIR_K, 3T] bf16
         dd = jnp.dot(db, dm, preferred_element_type=jnp.float32)
         zoff = dirs[:, 3:4]  # [FPB*F, 1] f32 per-ray origin z offset
 
@@ -264,13 +269,16 @@ def _make_fan_kernel(F: int, T: int):
             w2d = dd[sl, 2 * T:3 * T]
             z = zoff[sl]  # [F, 1]
 
-            nd_ok = jnp.abs(nd) > 1e-7
-            t = (no2 - z * nz) / jnp.where(nd_ok, nd, jnp.float32(1.0))
+            # ND ~ 0 (parallel ray) needs no guard: t -> +-inf or NaN and
+            # every NaN/inf comparison below rejects the pair. Approximate
+            # reciprocal (2^-12 rel err) beats the multi-pass f32 divide;
+            # sensor distances tolerate 0.02%.
+            t = (no2 - z * nz) * pl.reciprocal(nd, approx=True)
             u = (u0 + z * w1z) + t * w1d
             v = (v0 + z * w2z) + t * w2d
             hit = (
-                nd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0)
-                & (u + v <= 1.0) & valid
+                (t > 0.0) & (u >= 0.0) & (v >= 0.0)
+                & (u + v <= 1.0) & valid & (t < inf)
             )
             tt = jnp.where(hit, t, inf)
             out_ref[sl, :] = jnp.min(tt, axis=1, keepdims=True)
@@ -308,7 +316,7 @@ def _get_fan_flat(F: int):
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (16, 3 * T), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (DIR_K, 3 * T), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(

@@ -175,6 +175,14 @@ def reward_system(cfg: EnvConfig, m: MapData, state: WorldState) -> WorldState:
         from .turret import turret_reward_system
 
         return turret_reward_system(cfg, state)
+    elif cfg.task == Task.Explore:
+        # exploreRewardSystem (sim.cpp:3538-3551): +0.05/new cell, else
+        # -0.005 (no team terms)
+        new_cells = state.new_cells.astype(jnp.float32)
+        r = jnp.where(new_cells > 0, 0.05 * new_cells, -0.005)
+        return state.replace(
+            reward=r, new_cells=jnp.zeros_like(state.new_cells)
+        )
     else:
         r = jnp.zeros((A,))
         new_min = state.min_dist_to_zone
