@@ -74,6 +74,15 @@ class MapData(NamedTuple):
     curriculum_players: jax.Array  # [S, 12, 9] f32: pos3, yaw, pitch, bullets, reloading, hp, flags
     num_curriculum_snapshots: int  # static
 
+    # 5-tier navmesh spawn curriculum (buildSpawnCurriculum,
+    # mgr.cpp:884-911; assets/spawn_curriculum.py)
+    curr_spawn_a_tris: jax.Array  # [5, S, K] i32 (-1 pad)
+    curr_spawn_b_tris: jax.Array  # [5, S, K] i32
+    curr_spawn_a_yaw: jax.Array  # [5, S]
+    curr_spawn_b_yaw: jax.Array  # [5, S]
+    curr_spawn_counts: jax.Array  # [5] i32
+    has_spawn_curriculum: bool  # static
+
     @property
     def max_dist(self):
         return jnp.linalg.norm(self.world_max - self.world_min)
@@ -166,6 +175,26 @@ def load_map(
         cpl = jnp.zeros((1, consts.max_team_size * 2, 9), jnp.float32)
         n_snap = 0
 
+    # 5-tier navmesh spawn curriculum (built lazily only when enabled)
+    if cfg.enable_spawn_curriculum:
+        from .spawn_curriculum import build_spawn_curriculum
+
+        sc = build_spawn_curriculum(
+            tables,
+            cache_key=os.path.basename(os.path.normpath(scene_dir)),
+        )
+        sc_a, sc_b = sc.a_tris, sc.b_tris
+        sc_ay, sc_by = sc.a_yaw, sc.b_yaw
+        sc_counts = sc.num_spawns
+        has_sc = bool((sc_counts > 0).all())
+    else:
+        sc_a = np.full((5, 1, 1), -1, np.int32)
+        sc_b = np.full((5, 1, 1), -1, np.int32)
+        sc_ay = np.zeros((5, 1), np.float32)
+        sc_by = np.zeros((5, 1), np.float32)
+        sc_counts = np.zeros((5,), np.int32)
+        has_sc = False
+
     return MapData(
         tris=soup,
         world_min=jnp.asarray(col.world_bounds_min),
@@ -199,6 +228,12 @@ def load_map(
         curriculum_match_state=cms,
         curriculum_players=cpl,
         num_curriculum_snapshots=n_snap,
+        curr_spawn_a_tris=jnp.asarray(sc_a),
+        curr_spawn_b_tris=jnp.asarray(sc_b),
+        curr_spawn_a_yaw=jnp.asarray(sc_ay),
+        curr_spawn_b_yaw=jnp.asarray(sc_by),
+        curr_spawn_counts=jnp.asarray(sc_counts),
+        has_spawn_curriculum=has_sc,
     )
 
 

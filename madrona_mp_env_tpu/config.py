@@ -137,6 +137,8 @@ class EnvConfig:
     # trajectory curriculum restore probability at reset (level_gen.cpp:499)
     trajectory_curriculum_prob: float = 0.5
     # spawn curriculum state defaults (reference src/sim.cpp:5915-5924)
+    # + Manager::Config::enableSpawnCurriculum gate
+    enable_spawn_curriculum: bool = False
     use_curriculum_spawn_prob: float = 1.0
     curriculum_tier_probs: tuple = (0.0, 0.0, 0.3, 0.3, 0.4)
 

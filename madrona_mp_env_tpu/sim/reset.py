@@ -63,11 +63,40 @@ def init_world(
     else:
         zone_cur = jnp.zeros((), jnp.int32)
 
+    # spawn-curriculum episode sample: tier from the CDF + pair index
+    # (initWorld, sim.cpp:766-794)
+    if cfg.enable_spawn_curriculum and m.has_spawn_curriculum:
+        k_sc1, k_sc2, k_sc3 = jax.random.split(k_curr, 3)
+        use_sc = (
+            jax.random.uniform(k_sc1, ()) < cfg.use_curriculum_spawn_prob
+        )
+        probs = jnp.asarray(cfg.curriculum_tier_probs, jnp.float32)
+        cdf = jnp.cumsum(probs)
+        u = jax.random.uniform(k_sc2, ()) * cdf[-1]
+        tier = jnp.searchsorted(cdf, u).astype(jnp.int32)
+        tier = jnp.clip(tier, 0, 4)
+        n_spawns = jnp.maximum(m.curr_spawn_counts[tier], 1)
+        spawn_idx = (
+            jax.random.randint(k_sc3, (), 0, 2 ** 30) % n_spawns
+        ).astype(jnp.int32)
+        sc_fields = dict(
+            curr_spawn_active=use_sc,
+            curr_spawn_tier=tier,
+            curr_spawn_idx=spawn_idx,
+        )
+    else:
+        sc_fields = dict(
+            curr_spawn_active=jnp.zeros((), bool),
+            curr_spawn_tier=jnp.zeros((), jnp.int32),
+            curr_spawn_idx=jnp.zeros((), jnp.int32),
+        )
+
     f = jnp.float32
     i = jnp.int32
     T = cfg.team_size
 
     state = state.replace(
+        **sc_fields,
         team_a=team_a,
         cur_step=cur_step,
         is_finished=jnp.zeros((), bool),

@@ -234,6 +234,37 @@ def spawn_agents(
             row = jnp.asarray(_HARDCODED_SPAWNS)[idx]
             pt, yaw = row[0:3], row[3]
 
+        # spawn-curriculum: both teams spawn in facing navmesh regions
+        # (curriculumSpawnPoint, utils.cpp:653-717); initial spawns only
+        if cfg.enable_spawn_curriculum and m.has_spawn_curriculum and (
+            not is_respawn
+        ):
+            tier = state.curr_spawn_tier
+            sidx = state.curr_spawn_idx
+            is_a = team == state.team_a
+            tri_list = jnp.where(
+                is_a,
+                m.curr_spawn_a_tris[tier, sidx],
+                m.curr_spawn_b_tris[tier, sidx],
+            )  # [K]
+            base_yaw = jnp.where(
+                is_a,
+                m.curr_spawn_a_yaw[tier, sidx],
+                m.curr_spawn_b_yaw[tier, sidx],
+            )
+            n_valid = jnp.maximum(jnp.sum((tri_list >= 0)).astype(jnp.int32), 1)
+            k_sc_t, k_sc_uv = jax.random.split(jax.random.fold_in(ki, 77))
+            pick = jax.random.randint(k_sc_t, (), 0, 2 ** 30) % n_valid
+            tri = jnp.clip(tri_list[pick], 0, m.nav_tri_indices.shape[0] - 1)
+            uv = jax.random.uniform(k_sc_uv, (2,))
+            uv = jnp.where(uv[0] + uv[1] > 1.0, 1.0 - uv, uv)
+            w = 1.0 - uv[0] - uv[1]
+            tri_pts = m.nav_verts[m.nav_tri_indices[tri]]
+            sc_pt = tri_pts[0] * uv[0] + tri_pts[1] * uv[1] + tri_pts[2] * w
+            use_sc = state.curr_spawn_active
+            pt = jnp.where(use_sc, sc_pt, pt)
+            yaw = jnp.where(use_sc, base_yaw, yaw)
+
         # Turret task: turrets at navmesh points with random yaw
         # (level_gen.cpp:462-470)
         if cfg.task == Task.Turret:

@@ -172,6 +172,11 @@ class WorldState:
     episode_counter: jax.Array  # u32 (worldEpisodeCounter)
     episode_key: jax.Array  # u32[2] raw key data of this episode's base key
     world_curriculum: jax.Array  # i32 (WorldCurriculum)
+    # spawn-curriculum episode sample (MatchInfo.curCurriculumTier/SpawnIdx,
+    # sampled in initWorld, sim.cpp:766-794)
+    curr_spawn_active: jax.Array  # bool
+    curr_spawn_tier: jax.Array  # i32
+    curr_spawn_idx: jax.Array  # i32
 
     # --- per-agent training metadata ---
     policy_idx: jax.Array  # [A] i32
@@ -274,6 +279,9 @@ def init_world_state(cfg: EnvConfig, num_goal_regions: int) -> WorldState:
         episode_counter=jnp.zeros((), jnp.uint32),
         episode_key=jnp.zeros((2,), jnp.uint32),
         world_curriculum=jnp.full((), WorldCurriculum.FullMatch, i),
+        curr_spawn_active=jnp.zeros((), bool),
+        curr_spawn_tier=jnp.zeros((), i),
+        curr_spawn_idx=jnp.zeros((), i),
         policy_idx=jnp.zeros((A,), i),
         reward_coefs=jnp.tile(
             jnp.asarray(cfg.reward_defaults.as_tuple(), f)[None, :], (A, 1)
