@@ -115,14 +115,28 @@ class MaxPoolNet(nn.Module):
 class ActorCriticNet(nn.Module):
     """BackboneSeparate: prefix + (masked actor net + LSTM) and (critic net
     + LSTM), then actor heads + critic head
-    (scripts/jax_policy.py:279-436)."""
+    (scripts/jax_policy.py:279-436). ``use_attention`` swaps the MaxPoolNet
+    encoders for EntitySelfAttentionNet (jax_policy.py:308-313)."""
 
     dtype: jnp.dtype
+    use_attention: bool = False
 
     def setup(self):
+        from .models import EntitySelfAttentionNet
+
         self.prefix = PrefixCommon(dtype=self.dtype)
-        self.actor_net = MaxPoolNet(dtype=self.dtype)
-        self.critic_net = MaxPoolNet(dtype=self.dtype)
+        if self.use_attention:
+            self.actor_net = EntitySelfAttentionNet(
+                num_embed_channels=64, num_out_channels=512, num_heads=4,
+                dtype=self.dtype,
+            )
+            self.critic_net = EntitySelfAttentionNet(
+                num_embed_channels=64, num_out_channels=512, num_heads=4,
+                dtype=self.dtype,
+            )
+        else:
+            self.actor_net = MaxPoolNet(dtype=self.dtype)
+            self.critic_net = MaxPoolNet(dtype=self.dtype)
         self.actor_rnn = PolicyLSTM(hidden_dim=RNN_HIDDEN, dtype=self.dtype)
         self.critic_rnn = PolicyLSTM(hidden_dim=RNN_HIDDEN, dtype=self.dtype)
         self.actor_head_discrete = DenseLayerDiscreteActor(
