@@ -178,6 +178,56 @@ class DenseLayerCritic(nn.Module):
         return v.astype(jnp.float32)[..., 0]
 
 
+def symlog(x):
+    return jnp.sign(x) * jnp.log1p(jnp.abs(x))
+
+
+def symexp(x):
+    return jnp.sign(x) * (jnp.exp(jnp.abs(x)) - 1.0)
+
+
+class DreamerV3Critic(nn.Module):
+    """Dreamer-v3 style critic (madrona_learn dreamer_v3_critic option,
+    reference TrainConfig jax_train.py:270): two-hot categorical over
+    symlog-spaced bins, value read out as symexp(E[bin]). Exposed for
+    parity; DenseLayerCritic is the default."""
+
+    dtype: jnp.dtype
+    num_bins: int = 255
+    low: float = -20.0  # symlog space
+    high: float = 20.0
+
+    def bin_centers(self):
+        return jnp.linspace(self.low, self.high, self.num_bins)
+
+    @nn.compact
+    def __call__(self, features):
+        logits = nn.Dense(
+            self.num_bins,
+            kernel_init=jax.nn.initializers.zeros,
+            dtype=self.dtype,
+        )(features).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return symexp(jnp.sum(probs * self.bin_centers(), axis=-1))
+
+    def two_hot_target(self, value):
+        """Two-hot encoding of symlog(value) over the bins (for a
+        cross-entropy value loss)."""
+        x = symlog(value)
+        centers = self.bin_centers()
+        x = jnp.clip(x, self.low, self.high)
+        idx = (
+            (x - self.low) / (self.high - self.low) * (self.num_bins - 1)
+        )
+        lo = jnp.floor(idx).astype(jnp.int32)
+        hi = jnp.clip(lo + 1, 0, self.num_bins - 1)
+        w_hi = (idx - lo)[..., None]
+        return (
+            jax.nn.one_hot(lo, self.num_bins) * (1.0 - w_hi)
+            + jax.nn.one_hot(hi, self.num_bins) * w_hi
+        )
+
+
 class HLGaussCritic(nn.Module):
     """Histogram-loss Gaussian critic (madrona_learn HLGaussCritic option,
     scripts/jax_policy.py:431-435): value as a categorical over bins with

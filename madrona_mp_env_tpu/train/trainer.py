@@ -582,6 +582,12 @@ class TrainingManager:
     def update_iter(self, ts: TrainState):
         return self._update_fn(ts)
 
+    def aot_compile(self, ts: TrainState):
+        """Ahead-of-time compile the fused update for a given state shape
+        (madrona_learn.aot_compile, jax_train.py:385). Returns the compiled
+        executable; calling it skips trace/compile on first use."""
+        return self._update_fn.lower(ts).compile()
+
     # -------------------------------------------------- PBT population ops
     def _update_population_impl(self, ts: TrainState):
         """ELO-ranked truncation selection over the train ensemble
