@@ -165,9 +165,8 @@ def _ray_vs_tris_flat(o: jax.Array, d: jax.Array,
     kernel blocks stay full."""
     R = o.shape[0]
     R_pad = -(-max(R, 1) // BLOCK_RAYS) * BLOCK_RAYS
-    rays = jnp.zeros((R_pad, 8), jnp.float32)
-    rays = rays.at[:R, 0:3].set(o)
-    rays = rays.at[:R, 3:6].set(d)
+    rays = jnp.concatenate([o, d, jnp.zeros((R, 2), jnp.float32)], axis=1)
+    rays = jnp.pad(rays, ((0, R_pad - R), (0, 0)))
     return _ray_pallas_call(rays, tri_consts)[:R]
 
 
@@ -213,7 +212,7 @@ def ray_vs_tris_pallas(o: jax.Array, d: jax.Array, tri_consts: jax.Array,
 # ([F, 4] @ [4, 3T]) — directions are unit-scale so bf16's ~0.3% relative
 # error only perturbs sensor distances, not game-state collision.
 
-FANS_PER_BLOCK = 8
+FANS_PER_BLOCK = 32
 
 
 DIR_K = 128  # contraction dim padded to the MXU width so Mosaic routes the
@@ -330,11 +329,21 @@ def _get_fan_flat(F: int):
     def fan_flat(origins, zoffs, dirs, tri_consts, dir_consts):
         N = origins.shape[0]
         N_pad = -(-max(N, 1) // FPB) * FPB
-        origs = jnp.zeros((N_pad, 8), jnp.float32)
-        origs = origs.at[:N, 0:3].set(origins)
-        dirs8 = jnp.zeros((N_pad * F, 8), jnp.float32)
-        dirs8 = dirs8.at[: N * F, 0:3].set(dirs.reshape(N * F, 3))
-        dirs8 = dirs8.at[: N * F, 3].set(zoffs.reshape(N * F))
+        # one fused concat per operand (strided .at[, col].set column writes
+        # dominate kernel runtime otherwise)
+        origs = jnp.concatenate(
+            [origins, jnp.zeros((N, 5), jnp.float32)], axis=1
+        )
+        origs = jnp.pad(origs, ((0, N_pad - N), (0, 0)))
+        dirs8 = jnp.concatenate(
+            [
+                dirs.reshape(N * F, 3),
+                zoffs.reshape(N * F, 1),
+                jnp.zeros((N * F, 4), jnp.float32),
+            ],
+            axis=1,
+        )
+        dirs8 = jnp.pad(dirs8, ((0, (N_pad - N) * F), (0, 0)))
         out = call(origs, dirs8, tri_consts, dir_consts)
         return out[: N * F, 0].reshape(N, F)
 
@@ -648,9 +657,10 @@ def _get_sc_flat(r: float):
         axis into the cast axis (full kernel blocks)."""
         R = o.shape[0]
         R_pad = -(-max(R, 1) // BLOCK_CASTS) * BLOCK_CASTS
-        rays = jnp.zeros((R_pad, 8), jnp.float32)
-        rays = rays.at[:R, 0:3].set(o)
-        rays = rays.at[:R, 3:6].set(d)
+        rays = jnp.concatenate(
+            [o, d, jnp.zeros((R, 2), jnp.float32)], axis=1
+        )
+        rays = jnp.pad(rays, ((0, R_pad - R), (0, 0)))
         t_out, idx_out = call(rays, sc_packed)
         return t_out[:R, 0], idx_out[:R, 0]
 
