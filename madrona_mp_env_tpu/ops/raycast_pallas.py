@@ -422,69 +422,11 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _sc_closest_dist2(px, py, pz, v0, e1, e2):
-    """Squared distance from points p ([BR, 1] components) to triangles
-    (component rows [1, T]) — Ericson RTCD 5.1.5 specialized to distance
-    only. Returns [BR, T]."""
-    apx, apy, apz = px - v0[0], py - v0[1], pz - v0[2]
-    d1 = _dot3(e1[0], e1[1], e1[2], apx, apy, apz)
-    d2 = _dot3(e2[0], e2[1], e2[2], apx, apy, apz)
-
-    bpx, bpy, bpz = apx - e1[0], apy - e1[1], apz - e1[2]
-    d3 = _dot3(e1[0], e1[1], e1[2], bpx, bpy, bpz)
-    d4 = _dot3(e2[0], e2[1], e2[2], bpx, bpy, bpz)
-
-    cpx, cpy, cpz = apx - e2[0], apy - e2[1], apz - e2[2]
-    d5 = _dot3(e1[0], e1[1], e1[2], cpx, cpy, cpz)
-    d6 = _dot3(e2[0], e2[1], e2[2], cpx, cpy, cpz)
-
-    vc = d1 * d4 - d3 * d2
-    vb = d5 * d2 - d1 * d6
-    va = d3 * d6 - d5 * d4
-
-    one = jnp.float32(1.0)
-    v_ab = d1 / jnp.where(jnp.abs(d1 - d3) > 1e-20, d1 - d3, one)
-    w_ac = d2 / jnp.where(jnp.abs(d2 - d6) > 1e-20, d2 - d6, one)
-    denom_va = (d4 - d3) + (d5 - d6)
-    w_bc = (d4 - d3) / jnp.where(jnp.abs(denom_va) > 1e-20, denom_va, one)
-
-    face_den = va + vb + vc
-    inv_face = one / jnp.where(jnp.abs(face_den) > 1e-20, face_den, one)
-    v_f = vb * inv_face
-    w_f = vc * inv_face
-
-    in_a = (d1 <= 0.0) & (d2 <= 0.0)
-    in_b = (d3 >= 0.0) & (d4 <= d3)
-    in_c = (d6 >= 0.0) & (d5 <= d6)
-    on_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
-    on_ac = (vb <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0)
-    on_bc = (va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0)
-
-    # barycentric (v, w) of the closest point per region
-    v_out = v_f
-    w_out = w_f
-    v_out = jnp.where(on_bc, one - w_bc, v_out)
-    w_out = jnp.where(on_bc, w_bc, w_out)
-    v_out = jnp.where(on_ac, jnp.float32(0.0), v_out)
-    w_out = jnp.where(on_ac, w_ac, w_out)
-    v_out = jnp.where(on_ab, v_ab, v_out)
-    w_out = jnp.where(on_ab, jnp.float32(0.0), w_out)
-    v_out = jnp.where(in_c, jnp.float32(0.0), v_out)
-    w_out = jnp.where(in_c, one, w_out)
-    v_out = jnp.where(in_b, one, v_out)
-    w_out = jnp.where(in_b, jnp.float32(0.0), w_out)
-    v_out = jnp.where(in_a, jnp.float32(0.0), v_out)
-    w_out = jnp.where(in_a, jnp.float32(0.0), w_out)
-
-    qx = v0[0] + v_out * e1[0] + w_out * e2[0] - px
-    qy = v0[1] + v_out * e1[1] + w_out * e2[1] - py
-    qz = v0[2] + v_out * e1[2] + w_out * e2[2] - pz
-    return qx * qx + qy * qy + qz * qz
-
-
 def _ray_capsule_t(ox, oy, oz, dx, dy, dz, p0, sx, sy, sz, len2, r):
     """Nearest t of rays vs capsules around segments p0..p0+s (all component
-    args broadcast to [BR, T]); returns [BR, T] (inf miss)."""
+    args broadcast to [BR, T]); returns (t [BR, T] (inf miss), start_in
+    [BR, T]: the ray origin already lies inside the cylinder within the
+    segment bounds — the edge's Voronoi overlap region)."""
     mx, my, mz = ox - p0[0], oy - p0[1], oz - p0[2]
     md = _dot3(mx, my, mz, dx, dy, dz)
     ms = _dot3(mx, my, mz, sx, sy, sz)
@@ -495,6 +437,8 @@ def _ray_capsule_t(ox, oy, oz, dx, dy, dz, p0, sx, sy, sz, len2, r):
     a = 1.0 - ds * ds * inv_l2  # |d| = 1
     b = md - ms * ds * inv_l2
     c = mm - ms * ms * inv_l2 - r * r
+
+    start_in = (c <= 0.0) & (ms >= 0.0) & (ms <= len2)
 
     disc = b * b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -508,10 +452,11 @@ def _ray_capsule_t(ox, oy, oz, dx, dy, dz, p0, sx, sy, sz, len2, r):
         & (s_hit >= 0.0)
         & (s_hit <= len2)
     )
-    return jnp.where(ok, t_cyl, jnp.float32(np.inf))
+    return jnp.where(ok, t_cyl, jnp.float32(np.inf)), start_in
 
 
 def _ray_sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
+    """Returns (t (inf miss), start_in: origin within r of the center)."""
     mx, my, mz = ox - cx, oy - cy, oz - cz
     b = _dot3(mx, my, mz, dx, dy, dz)
     c = _dot3(mx, my, mz, mx, my, mz) - r * r
@@ -519,7 +464,7 @@ def _ray_sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t = -b - sq
     ok = (disc >= 0.0) & (t >= 0.0)
-    return jnp.where(ok, t, jnp.float32(np.inf))
+    return jnp.where(ok, t, jnp.float32(np.inf)), c <= 0.0
 
 
 def _make_sc_kernel(r: float):
@@ -536,10 +481,6 @@ def _make_sc_kernel(r: float):
         e2 = (tc[6:7, :], tc[7:8, :], tc[8:9, :])
         nx, ny, nz = tc[9:10, :], tc[10:11, :], tc[11:12, :]
         valid = tc[12:13, :] > 0.0
-
-        # start overlap: closest point within r of origin -> t = 0
-        dist2 = _sc_closest_dist2(ox, oy, oz, v0, e1, e2)
-        overlap = dist2 <= rr * rr
 
         # face hit: ray vs plane offset by r toward the sphere; contact
         # point inside the face (barycentrics of contact)
@@ -567,28 +508,44 @@ def _make_sc_kernel(r: float):
         )
         t_face = jnp.where(face_ok, t_face, jnp.float32(np.inf))
 
-        # edge capsules (3 cylinders + 3 vertex spheres)
+        # start-overlap, face region: |h| <= r with the plane projection
+        # o - h n inside the face (the face slab of the tri's Voronoi
+        # decomposition; edge/vertex regions come from the capsule terms)
+        px = ox - h * nx - v0[0]
+        py = oy - h * ny - v0[1]
+        pz = oz - h * nz - v0[2]
+        p20 = _dot3(px, py, pz, e1[0], e1[1], e1[2])
+        p21 = _dot3(px, py, pz, e2[0], e2[1], e2[2])
+        pv = (d11 * p20 - d01 * p21) * inv_den
+        pw = (d00 * p21 - d01 * p20) * inv_den
+        overlap = (
+            (jnp.abs(h) <= rr) & (pv >= 0.0) & (pw >= 0.0)
+            & (pv + pw <= 1.0)
+        )
+
+        # edge capsules (3 cylinders + 3 vertex spheres); their start-inside
+        # flags complete the overlap decomposition exactly
         e12 = (e2[0] - e1[0], e2[1] - e1[1], e2[2] - e1[2])
         v1 = (v0[0] + e1[0], v0[1] + e1[1], v0[2] + e1[2])
         l12 = _dot3(e12[0], e12[1], e12[2], e12[0], e12[1], e12[2])
-        t_edge = _ray_capsule_t(ox, oy, oz, dx, dy, dz, v0,
-                                e1[0], e1[1], e1[2], d00, rr)
-        t_edge = jnp.minimum(
-            t_edge,
-            _ray_capsule_t(ox, oy, oz, dx, dy, dz, v0,
-                           e2[0], e2[1], e2[2], d11, rr),
-        )
-        t_edge = jnp.minimum(
-            t_edge,
-            _ray_capsule_t(ox, oy, oz, dx, dy, dz, v1,
-                           e12[0], e12[1], e12[2], l12, rr),
-        )
+        t_edge, in0 = _ray_capsule_t(ox, oy, oz, dx, dy, dz, v0,
+                                     e1[0], e1[1], e1[2], d00, rr)
+        overlap = overlap | in0
+        t_e, in1 = _ray_capsule_t(ox, oy, oz, dx, dy, dz, v0,
+                                  e2[0], e2[1], e2[2], d11, rr)
+        t_edge = jnp.minimum(t_edge, t_e)
+        overlap = overlap | in1
+        t_e, in2 = _ray_capsule_t(ox, oy, oz, dx, dy, dz, v1,
+                                  e12[0], e12[1], e12[2], l12, rr)
+        t_edge = jnp.minimum(t_edge, t_e)
+        overlap = overlap | in2
         v2 = (v0[0] + e2[0], v0[1] + e2[1], v0[2] + e2[2])
         for c in (v0, v1, v2):
-            t_edge = jnp.minimum(
-                t_edge,
-                _ray_sphere_t(ox, oy, oz, dx, dy, dz, c[0], c[1], c[2], rr),
+            t_s, in_s = _ray_sphere_t(
+                ox, oy, oz, dx, dy, dz, c[0], c[1], c[2], rr
             )
+            t_edge = jnp.minimum(t_edge, t_s)
+            overlap = overlap | in_s
 
         t = jnp.minimum(t_face, t_edge)
         t = jnp.where(overlap, jnp.float32(0.0), t)
@@ -608,7 +565,7 @@ def _make_sc_kernel(r: float):
     return kernel
 
 
-BLOCK_CASTS = 128
+BLOCK_CASTS = 256
 
 # one custom_vmap flat entry per static radius (r is baked into the kernel)
 _SC_FLAT_CACHE = {}
