@@ -145,6 +145,34 @@ def frames_from_record(path: str, num_worlds: int, world: int):
         }
 
 
+def render_heatmap(out_path, col, frames, team_size, bins=64):
+    """Position-occupancy heatmap over a match (the viewer's heatmap
+    overlays, viz.cpp:1070+), one panel per team."""
+    import matplotlib.pyplot as plt
+
+    lo = col.world_bounds_min
+    hi = col.world_bounds_max
+    pts = {0: [], 1: []}
+    for fr in frames:
+        for i in range(2 * team_size):
+            if fr["alive"][i]:
+                pts[i // team_size].append(fr["pos"][i, :2])
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 5), dpi=100)
+    for team, ax in enumerate(axes):
+        _setup_axes(ax, col)
+        if pts[team]:
+            p = np.asarray(pts[team])
+            ax.hist2d(
+                p[:, 0], p[:, 1], bins=bins,
+                range=[[lo[0], hi[0]], [lo[1], hi[1]]],
+                cmap="magma", alpha=0.85, zorder=2, cmin=1,
+            )
+        ax.set_title(f"team {team} occupancy", fontsize=9)
+    fig.savefig(out_path)
+    plt.close(fig)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=str, help="event log dir (steps.bin)")
@@ -156,6 +184,9 @@ def main(argv=None):
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--team-size", type=int, default=6)
     ap.add_argument("--max-frames", type=int, default=200)
+    ap.add_argument("--heatmap", action="store_true",
+                    help="render a per-team occupancy heatmap instead of "
+                         "per-step frames")
     args = ap.parse_args(argv)
 
     import matplotlib
@@ -178,6 +209,13 @@ def main(argv=None):
         sys.exit(1)
 
     os.makedirs(args.out, exist_ok=True)
+
+    if args.heatmap:
+        out_path = os.path.join(args.out, "heatmap.png")
+        render_heatmap(out_path, col, frames, args.team_size)
+        print(f"wrote {out_path}")
+        return
+
     n = 0
     for i, fr in enumerate(frames):
         if i % args.stride != 0:
