@@ -115,3 +115,41 @@ def test_hash_encoder():
 
     g = jax.grad(loss)(params)
     assert float(jnp.sum(jnp.abs(g["params"]["hash_table"]))) > 0.0
+
+
+def test_select_trajectories(tmp_path):
+    import sqlite3
+
+    from madrona_mp_env_tpu.data.build_db import SCHEMA
+    from madrona_mp_env_tpu.data.select_trajectories import select_windows
+    from madrona_mp_env_tpu.data.trajectory_db import (
+        DUMP_ITEM_DTYPE,
+        write_dump_items,
+    )
+
+    db_path = os.path.join(tmp_path, "sel.db")
+    db = sqlite3.connect(db_path)
+    db.executescript(SCHEMA)
+    cur = db.cursor()
+    cur.execute("INSERT INTO matches (orig_id, num_steps) VALUES (1, 400)")
+    mid = cur.lastrowid
+    for s in range(400):
+        mask = 4 if s % 150 == 50 else 0  # a kill every 150 steps
+        cur.execute(
+            "INSERT INTO match_steps (match_id, step_idx, cur_zone,"
+            " cur_zone_controller, zone_steps_remaining,"
+            " zone_steps_until_point, num_events, event_mask, world_id,"
+            " global_idx) VALUES (?,?,?,?,?,?,?,?,?,?)",
+            (mid, s, 0, -1, 0, 0, 1 if mask else 0, mask, 0, s),
+        )
+    db.commit()
+    db.close()
+
+    sids, tids = select_windows(db_path, event_mask=4, window=100,
+                                max_windows=10)
+    assert len(sids) > 0 and len(sids) % 100 == 0
+
+    out = os.path.join(tmp_path, "items.bin")
+    write_dump_items(out, sids, tids)
+    back = np.fromfile(out, DUMP_ITEM_DTYPE)
+    assert np.array_equal(back["step_id"], sids)
