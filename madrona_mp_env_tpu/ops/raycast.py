@@ -17,6 +17,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -26,6 +27,27 @@ import numpy as np
 from .. import consts
 
 INF = jnp.inf
+
+
+def pallas_mode() -> str:
+    """Kernel dispatch override via MPENV_PALLAS:
+    '' (default: pallas on TPU, dense elsewhere), 'interpret' (pallas
+    kernels in interpret mode on any backend — the CPU correctness
+    harness), 'dense' (force the jnp reference path even on TPU)."""
+    return os.environ.get("MPENV_PALLAS", "")
+
+
+def use_pallas() -> bool:
+    mode = pallas_mode()
+    if mode == "interpret":
+        return True
+    if mode == "dense":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def pallas_interpret() -> bool:
+    return pallas_mode() == "interpret"
 
 
 class TriSoup(NamedTuple):
@@ -86,10 +108,6 @@ def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
     )
 
 
-def on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
-
-
 def ray_vs_tris(o, d, soup: TriSoup, t_max=INF):
     """Nearest-hit ray vs the map triangle soup. o, d: [..., 3]; returns t
     [...] (inf on miss) — MeshBVH::traceRay semantics (mesh_bvh.inl).
@@ -97,7 +115,7 @@ def ray_vs_tris(o, d, soup: TriSoup, t_max=INF):
     Dispatches to the fused Pallas kernel on TPU; the dense jnp sweep below
     is the portable reference path (CPU tests, interpret mode).
     """
-    if on_tpu():
+    if use_pallas():
         from .raycast_pallas import ray_vs_tris_pallas
 
         return ray_vs_tris_pallas(o, d, soup.packed, t_max=t_max)
@@ -111,7 +129,7 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF):
 
     TPU: fused fan kernel (shared-origin terms hoisted, bf16 MXU direction
     dots); elsewhere the dense sweep."""
-    if on_tpu():
+    if use_pallas():
         from .raycast_pallas import ray_fans_vs_tris_pallas
 
         return ray_fans_vs_tris_pallas(origins, zoffs, dirs, soup, t_max)
@@ -284,7 +302,7 @@ def _closest_point_on_tri(p, v0, e1, e2):
 def sphere_cast_vs_tris(o, d, r, soup: TriSoup, t_max=INF):
     """Sphere cast against the map; dispatches to the fused Pallas kernel on
     TPU, dense jnp sweep elsewhere. Returns (t [...], normal [..., 3])."""
-    if on_tpu():
+    if use_pallas():
         from .raycast_pallas import sphere_cast_vs_tris_pallas
 
         return sphere_cast_vs_tris_pallas(o, d, float(r), soup, t_max=t_max)

@@ -25,6 +25,7 @@ Replaces the reference's per-thread quantized-BVH traversal
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -35,6 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_RAYS = 256
 INF = jnp.inf
+
+
+def _interp() -> bool:
+    """Interpret-mode toggle (MPENV_PALLAS=interpret): run the kernels via
+    the Pallas interpreter on any backend — the CPU parity harness."""
+    return os.environ.get("MPENV_PALLAS", "") == "interpret"
 
 # rows of the packed tri-constants matrix
 _NX, _NY, _NZ, _D0 = 0, 1, 2, 3
@@ -153,6 +160,7 @@ def _ray_pallas_call(rays: jax.Array, tri_consts: jax.Array) -> jax.Array:
             (BLOCK_RAYS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        interpret=_interp(),
     )(rays, tri_consts)
     return out[:, 0]
 
@@ -291,8 +299,9 @@ _FAN_FLAT_CACHE = {}
 def _get_fan_flat(F: int):
     """custom_vmap flat entry: (origins [N, 3], dirs [N, F, 3], tri_consts,
     dir_consts) -> t [N, F]; vmap flattens batch into the fan axis."""
-    if F in _FAN_FLAT_CACHE:
-        return _FAN_FLAT_CACHE[F]
+    ck = (F, _interp())
+    if ck in _FAN_FLAT_CACHE:
+        return _FAN_FLAT_CACHE[ck]
 
     FPB = FANS_PER_BLOCK
 
@@ -322,6 +331,7 @@ def _get_fan_flat(F: int):
                 (FPB * F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((N * F, 1), jnp.float32),
+            interpret=_interp(),
         )(origs, dirs, tri_consts, dir_consts)
         return out
 
@@ -365,7 +375,7 @@ def _get_fan_flat(F: int):
                        tri_consts, dir_consts)
         return out.reshape((B, -1) + out.shape[1:]), True
 
-    _FAN_FLAT_CACHE[F] = fan_flat
+    _FAN_FLAT_CACHE[ck] = fan_flat
     return fan_flat
 
 
@@ -572,8 +582,9 @@ _SC_FLAT_CACHE = {}
 
 
 def _get_sc_flat(r: float):
-    if r in _SC_FLAT_CACHE:
-        return _SC_FLAT_CACHE[r]
+    ck = (r, _interp())
+    if ck in _SC_FLAT_CACHE:
+        return _SC_FLAT_CACHE[ck]
 
     kernel = _make_sc_kernel(r)
 
@@ -606,6 +617,7 @@ def _get_sc_flat(r: float):
                 jax.ShapeDtypeStruct((R, 1), jnp.float32),
                 jax.ShapeDtypeStruct((R, 1), jnp.int32),
             ],
+            interpret=_interp(),
         )(rays, sc_packed)
 
     @jax.custom_batching.custom_vmap
@@ -637,7 +649,7 @@ def _get_sc_flat(r: float):
         t, idx = sc_flat(bcast(o, ob), bcast(d, db), sc_packed)
         return (t.reshape(B, -1), idx.reshape(B, -1)), (True, True)
 
-    _SC_FLAT_CACHE[r] = sc_flat
+    _SC_FLAT_CACHE[ck] = sc_flat
     return sc_flat
 
 
