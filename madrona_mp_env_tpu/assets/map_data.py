@@ -28,6 +28,10 @@ class MapData(NamedTuple):
     world_min: jax.Array  # [3]
     world_max: jax.Array  # [3]
 
+    # per-cell raycast candidate tables (ops/culling.py); None -> the
+    # kernels sweep the full soup (dense fallback)
+    cells: Optional[object]
+
     # navmesh
     nav_verts: jax.Array  # [V, 3]
     nav_tri_indices: jax.Array  # [T, 3] i32
@@ -111,9 +115,12 @@ def load_map(
     cfg: EnvConfig,
     curriculum_snapshots: Optional[np.ndarray] = None,
     tri_pad: int = 128,
+    build_culling: bool = False,
 ) -> MapData:
     """Load a map directory (collisions.bin, navmesh.bin, spawns.bin,
-    zones.bin) into device arrays."""
+    zones.bin) into device arrays. Raycast culling tables are loaded from
+    the map dir's cache when present (tools/build_culling.py builds them);
+    ``build_culling=True`` builds them on the fly (slow)."""
     col = formats.load_collision_data(os.path.join(scene_dir, "collisions.bin"))
     nav = formats.load_navmesh(os.path.join(scene_dir, "navmesh.bin"))
     spawns = formats.load_spawns(os.path.join(scene_dir, "spawns.bin"))
@@ -121,7 +128,25 @@ def load_map(
 
     tables = build_navmesh_tables(nav, cache_key=os.path.basename(os.path.normpath(scene_dir)))
 
-    soup = make_tri_soup(col.tri_verts, pad_to=tri_pad)
+    # one canonical triangle order (Morton) shared by the soup and the
+    # culling tables — candidate indices must address the same array the
+    # kernels' winner-reconstruction gathers from
+    from ..ops.raycast_pallas import morton_sort_tris
+
+    tri_verts = morton_sort_tris(col.tri_verts)
+    soup = make_tri_soup(tri_verts, pad_to=tri_pad)
+
+    from ..ops.culling import load_or_build_cell_tables
+
+    walkable = np.concatenate(
+        [nav.verts, nav.verts[nav.tri_indices].mean(axis=1)], axis=0
+    ).astype(np.float32)
+    cell_tables = load_or_build_cell_tables(
+        tri_verts,
+        cache_dir=scene_dir,
+        build_if_missing=build_culling,
+        walkable_points=walkable,
+    )
 
     a_sp = spawns.a_spawns
     b_sp = spawns.b_spawns
@@ -199,6 +224,7 @@ def load_map(
         tris=soup,
         world_min=jnp.asarray(col.world_bounds_min),
         world_max=jnp.asarray(col.world_bounds_max),
+        cells=cell_tables,
         nav_verts=jnp.asarray(tables.verts),
         nav_tri_indices=jnp.asarray(tables.tri_indices),
         nav_centroids=jnp.asarray(tables.centroids),

@@ -108,28 +108,38 @@ def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
     )
 
 
-def ray_vs_tris(o, d, soup: TriSoup, t_max=INF):
+def ray_vs_tris(o, d, soup: TriSoup, t_max=INF, *, cells=None, tables=None):
     """Nearest-hit ray vs the map triangle soup. o, d: [..., 3]; returns t
     [...] (inf on miss) — MeshBVH::traceRay semantics (mesh_bvh.inl).
 
-    Dispatches to the fused Pallas kernel on TPU; the dense jnp sweep below
-    is the portable reference path (CPU tests, interpret mode).
+    Dispatches to the fused Pallas kernel on TPU (per-cell candidate culling
+    when ``cells``/``tables`` are given, ops/culling.py); the dense jnp
+    sweep below is the portable reference path (CPU tests, interpret mode).
     """
     if use_pallas():
+        if tables is not None and cells is not None:
+            from .raycast_cull import rays_cull
+
+            return rays_cull(o, d, cells, tables, t_max=t_max)
         from .raycast_pallas import ray_vs_tris_pallas
 
         return ray_vs_tris_pallas(o, d, soup.packed, t_max=t_max)
     return _ray_vs_tris_dense(o, d, soup, t_max)
 
 
-def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF):
+def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
+                     cells=None, tables=None):
     """Nearest-hit for per-agent sensor ray fans sharing a base origin
     (per-ray origin = base + (0, 0, z_offset)). origins [..., 3];
     zoffs [..., F]; dirs [..., F, 3]. Returns t [..., F] (inf on miss).
 
-    TPU: fused fan kernel (shared-origin terms hoisted, bf16 MXU direction
-    dots); elsewhere the dense sweep."""
+    TPU: fused fan kernel over per-cell candidate sets when tables are
+    given, else the dense-soup fan kernel; elsewhere the dense sweep."""
     if use_pallas():
+        if tables is not None and cells is not None:
+            from .raycast_cull import ray_fans_cull
+
+            return ray_fans_cull(origins, zoffs, dirs, cells, tables, t_max)
         from .raycast_pallas import ray_fans_vs_tris_pallas
 
         return ray_fans_vs_tris_pallas(origins, zoffs, dirs, soup, t_max)
@@ -137,6 +147,18 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF):
         [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
     )
     return _ray_vs_tris_dense(o, dirs, soup, t_max)
+
+
+def sphere_cast_grouped(o, d, r, soup: TriSoup, t_max=INF, *, cells=None,
+                        tables=None):
+    """Grouped sphere casts: o, d [..., CPA, 3] — CPA casts per group (the
+    casting agent), one culling cell per group. Returns (t [..., CPA],
+    normal [..., CPA, 3]) with sphere_cast_vs_tris semantics."""
+    if use_pallas() and tables is not None and cells is not None:
+        from .raycast_cull import sphere_cast_cull
+
+        return sphere_cast_cull(o, d, float(r), cells, tables, soup, t_max)
+    return sphere_cast_vs_tris(o, d, r, soup, t_max)
 
 
 def _ray_vs_tris_dense(o, d, soup: TriSoup, t_max=INF):

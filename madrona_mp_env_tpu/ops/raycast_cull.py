@@ -1,0 +1,717 @@
+"""Pallas TPU kernels over per-cell candidate sets (ops/culling.py).
+
+Three kernels replace the dense all-triangles sweeps on the hot path:
+
+  * fan_cull      — per-agent sensor/fire ray fans vs the agent's cell
+                    candidates (K tris instead of the whole soup),
+  * sphere_cast_cull — grouped movement sphere casts (CPA casts per agent)
+                    vs the agent's cell candidates, with host-precomputed
+                    per-triangle derived constants,
+  * fan_capsules  — per-world sensor rays vs the 12 agent capsules
+                    (replaces the HBM-heavy XLA broadcast sweep).
+
+Candidate blocks are streamed per agent straight from the [C, rows, K]
+tables in HBM via scalar-prefetch index maps (the same table is declared
+once per block slot), so no gathered per-query copies ever hit HBM.
+
+Replaces the reference's per-thread BVH traversal (src/mesh_bvh.inl
+traceRay / sphereCast) with regular, divergence-free sweeps over small
+candidate sets.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raycast_pallas import _interp
+
+INF = jnp.inf
+
+# ---------------------------------------------------------------------------
+# Packed sphere-cast constants v2: all per-triangle derived terms hoisted to
+# the host so the kernel's per-pair work (and live-register count) shrinks.
+# Rows of the [32, T] matrix:
+#   0-2  v0        3-5  e1        6-8  e2       9-11 unit normal
+#   12   valid     13   d00       14   d01      15   d11
+#   16   inv_den   17-19 v1       20-22 v2      23-25 e12 (e2-e1)
+#   26   l12 (|e12|^2)            27   n.v0 (plane offset)
+# ---------------------------------------------------------------------------
+SC2_ROWS = 32
+
+
+def pack_sc2_consts(tri_verts: np.ndarray, pad_to: int = 128) -> np.ndarray:
+    t = tri_verts.shape[0]
+    T = -(-max(t, 1) // pad_to) * pad_to
+    v = np.zeros((T, 3, 3), np.float64)
+    v[:t] = tri_verts
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    n = np.cross(e1, e2)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(ln > 1e-20, n / np.maximum(ln, 1e-30), 0.0)
+    d00 = np.sum(e1 * e1, axis=-1)
+    d01 = np.sum(e1 * e2, axis=-1)
+    d11 = np.sum(e2 * e2, axis=-1)
+    den = d00 * d11 - d01 * d01
+    inv_den = np.where(np.abs(den) > 1e-20, 1.0 / np.where(den == 0, 1, den), 0.0)
+    e12 = e2 - e1
+
+    out = np.zeros((SC2_ROWS, T), np.float32)
+    out[0:3] = v0.T
+    out[3:6] = e1.T
+    out[6:9] = e2.T
+    out[9:12] = n.T
+    out[12] = ((np.arange(T) < t) & (ln[:, 0] > 1e-20)).astype(np.float32)
+    out[13] = d00
+    out[14] = d01
+    out[15] = d11
+    out[16] = inv_den
+    out[17:20] = (v0 + e1).T
+    out[20:23] = (v0 + e2).T
+    out[23:26] = e12.T
+    out[26] = np.sum(e12 * e12, axis=-1)
+    out[27] = np.sum(n * v0, axis=-1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fan_cull: sensor ray fans vs cell candidates
+# ---------------------------------------------------------------------------
+
+FANS_PER_BLOCK = 16
+
+# ray-const row ids (pack_tri_consts layout, raycast_pallas.py)
+_NX, _NY, _NZ, _D0 = 0, 1, 2, 3
+_W1X, _W1Y, _W1Z, _C1 = 4, 5, 6, 7
+_W2X, _W2Y, _W2Z, _C2 = 8, 9, 10, 11
+_VALID = 12
+
+
+def _make_fan_cull_kernel(F: int, K: int):
+    FPB = FANS_PER_BLOCK
+
+    def kernel(cells_ref, orig_ref, rays_ref, *rest):
+        cand_refs = rest[:FPB]
+        out_ref = rest[FPB]
+        dirs = rays_ref[:]  # [FPB*F, 8]: dx dy dz zoff
+        inf = jnp.float32(np.inf)
+        for f in range(FPB):
+            tc = cand_refs[f][0]  # [16, K]
+            nx, ny, nz = tc[_NX:_NX + 1], tc[_NY:_NY + 1], tc[_NZ:_NZ + 1]
+            d0 = tc[_D0:_D0 + 1]
+            w1x, w1y, w1z = (
+                tc[_W1X:_W1X + 1], tc[_W1Y:_W1Y + 1], tc[_W1Z:_W1Z + 1]
+            )
+            c1 = tc[_C1:_C1 + 1]
+            w2x, w2y, w2z = (
+                tc[_W2X:_W2X + 1], tc[_W2Y:_W2Y + 1], tc[_W2Z:_W2Z + 1]
+            )
+            c2 = tc[_C2:_C2 + 1]
+            valid = tc[_VALID:_VALID + 1] > 0.0
+
+            ox = orig_ref[f, 0]
+            oy = orig_ref[f, 1]
+            oz = orig_ref[f, 2]
+            no2 = d0 - (ox * nx + oy * ny + oz * nz)  # [1, K]
+            u0 = ox * w1x + oy * w1y + oz * w1z + c1
+            v0 = ox * w2x + oy * w2y + oz * w2z + c2
+
+            sl = slice(f * F, (f + 1) * F)
+            dx = dirs[sl, 0:1]
+            dy = dirs[sl, 1:2]
+            dz = dirs[sl, 2:3]
+            z = dirs[sl, 3:4]
+
+            nd = dx * nx + dy * ny + dz * nz  # [F, K]
+            w1d = dx * w1x + dy * w1y + dz * w1z
+            w2d = dx * w2x + dy * w2y + dz * w2z
+
+            t = (no2 - z * nz) / nd
+            u = (u0 + z * w1z) + t * w1d
+            v = (v0 + z * w2z) + t * w2d
+            hit = (
+                (t > 0.0) & (u >= 0.0) & (v >= 0.0)
+                & (u + v <= 1.0) & valid & (t < inf)
+            )
+            tt = jnp.where(hit, t, inf)
+            out_ref[sl, :] = jnp.min(tt, axis=1, keepdims=True)
+
+    return kernel
+
+
+_FAN_CULL_CACHE = {}
+
+
+def _get_fan_cull(F: int, K: int):
+    ck = (F, K, _interp())
+    if ck in _FAN_CULL_CACHE:
+        return _FAN_CULL_CACHE[ck]
+
+    FPB = FANS_PER_BLOCK
+    kernel = _make_fan_cull_kernel(F, K)
+
+    def call(cells, origs, dirs8, ray_table):
+        N = origs.shape[0]
+        grid = (N // FPB,)
+        in_specs = [
+            pl.BlockSpec((FPB, 8), lambda i, cr: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((FPB * F, 8), lambda i, cr: (i, 0)),
+        ]
+        for f in range(FPB):
+            in_specs.append(
+                pl.BlockSpec((1, 16, K),
+                             (lambda i, cr, f=f: (cr[i * FPB + f], 0, 0)))
+            )
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((FPB * F, 1), lambda i, cr: (i, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((N * F, 1), jnp.float32),
+            interpret=_interp(),
+        )(cells, origs, dirs8, *([ray_table] * FPB))
+
+    @jax.custom_batching.custom_vmap
+    def fan_cull_flat(origins, zoffs, dirs, cells, ray_table):
+        N = origins.shape[0]
+        N_pad = -(-max(N, 1) // FPB) * FPB
+        origs = jnp.concatenate(
+            [origins, jnp.zeros((N, 5), jnp.float32)], axis=1
+        )
+        origs = jnp.pad(origs, ((0, N_pad - N), (0, 0)))
+        dirs8 = jnp.concatenate(
+            [
+                dirs.reshape(N * F, 3),
+                zoffs.reshape(N * F, 1),
+                jnp.zeros((N * F, 4), jnp.float32),
+            ],
+            axis=1,
+        )
+        dirs8 = jnp.pad(dirs8, ((0, (N_pad - N) * F), (0, 0)))
+        cells_p = jnp.pad(cells.astype(jnp.int32), (0, N_pad - N))
+        out = call(cells_p, origs, dirs8, ray_table)
+        return out[: N * F, 0].reshape(N, F)
+
+    @fan_cull_flat.def_vmap
+    def _vmap(axis_size, in_batched, origins, zoffs, dirs, cells, ray_table):
+        ob, zb, db, cb, tb = in_batched
+        assert not tb, "candidate table must not be batched"
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        out = fan_cull_flat(
+            bcast(origins, ob), bcast(zoffs, zb), bcast(dirs, db),
+            bcast(cells, cb), ray_table,
+        )
+        return out.reshape((B, -1) + out.shape[1:]), True
+
+    _FAN_CULL_CACHE[ck] = fan_cull_flat
+    return fan_cull_flat
+
+
+def ray_fans_cull(origins, zoffs, dirs, cells, tables, t_max=INF):
+    """Culled nearest-hit ray fans: origins [..., 3], zoffs [..., F],
+    dirs [..., F, 3], cells [...] (i32 from culling.cell_index).
+    Returns t [..., F] (inf on miss). Semantics match ray_fans_vs_tris."""
+    batch_shape = origins.shape[:-1]
+    F = dirs.shape[-2]
+    N = int(np.prod(batch_shape)) if batch_shape else 1
+    fan = _get_fan_cull(F, tables.K)
+    t = fan(
+        origins.reshape(N, 3),
+        zoffs.reshape(N, F),
+        dirs.reshape(N, F, 3),
+        cells.reshape(N),
+        tables.ray_packed,
+    ).reshape(batch_shape + (F,))
+    return jnp.where(t <= t_max, t, INF)
+
+
+def rays_cull(o, d, cells, tables, t_max=INF):
+    """Culled single-ray nearest hit (fire hitscan): o, d [..., 3],
+    cells [...]. Returns t [...]. Uses the fan kernel with F=1."""
+    t = ray_fans_cull(
+        o, jnp.zeros(o.shape[:-1] + (1,), o.dtype), d[..., None, :],
+        cells, tables, t_max=t_max,
+    )
+    return t[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# sphere_cast_cull: grouped movement casts vs cell candidates
+# ---------------------------------------------------------------------------
+
+AGENTS_PER_BLOCK = 8
+
+
+def _make_sc_cull_kernel(CPA: int, K: int, r: float):
+    AGB = AGENTS_PER_BLOCK
+    rr = float(r)
+
+    def kernel(cells_ref, rays_ref, *rest):
+        cand_refs = rest[:AGB]
+        t_ref = rest[AGB]
+        idx_ref = rest[AGB + 1]
+        rays = rays_ref[:]  # [AGB*CPA, 8]
+        inf = jnp.float32(np.inf)
+        for a in range(AGB):
+            tc = cand_refs[a][0]  # [32, K]
+            v0 = (tc[0:1], tc[1:2], tc[2:3])
+            e1 = (tc[3:4], tc[4:5], tc[5:6])
+            e2 = (tc[6:7], tc[7:8], tc[8:9])
+            nx, ny, nz = tc[9:10], tc[10:11], tc[11:12]
+            valid = tc[12:13] > 0.0
+            d00, d01, d11 = tc[13:14], tc[14:15], tc[15:16]
+            inv_den = tc[16:17]
+            v1 = (tc[17:18], tc[18:19], tc[19:20])
+            v2 = (tc[20:21], tc[21:22], tc[22:23])
+            e12 = (tc[23:24], tc[24:25], tc[25:26])
+            l12 = tc[26:27]
+            nv0 = tc[27:28]
+
+            sl = slice(a * CPA, (a + 1) * CPA)
+            ox, oy, oz = rays[sl, 0:1], rays[sl, 1:2], rays[sl, 2:3]
+            dx, dy, dz = rays[sl, 3:4], rays[sl, 4:5], rays[sl, 5:6]
+
+            # face: ray vs plane offset by r toward the sphere, contact
+            # barycentrics inside (sphereCastTriangle face case,
+            # reference src/mesh_bvh.inl)
+            nd = nx * dx + ny * dy + nz * dz  # [CPA, K]
+            h = (nx * ox + ny * oy + nz * oz) - nv0
+            sign = jnp.where(h >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+            nd_ok = jnp.abs(nd) > 1e-9
+            t_face = (sign * rr - h) / jnp.where(nd_ok, nd, jnp.float32(1.0))
+            cx = ox + t_face * dx - sign * rr * nx - v0[0]
+            cy = oy + t_face * dy - sign * rr * ny - v0[1]
+            cz = oz + t_face * dz - sign * rr * nz - v0[2]
+            d20 = cx * e1[0] + cy * e1[1] + cz * e1[2]
+            d21 = cx * e2[0] + cy * e2[1] + cz * e2[2]
+            bv = (d11 * d20 - d01 * d21) * inv_den
+            bw = (d00 * d21 - d01 * d20) * inv_den
+            face_ok = (
+                nd_ok & (t_face >= 0.0) & (bv >= 0.0) & (bw >= 0.0)
+                & (bv + bw <= 1.0)
+            )
+            t_face = jnp.where(face_ok, t_face, inf)
+
+            # start-overlap, face region
+            px = ox - h * nx - v0[0]
+            py = oy - h * ny - v0[1]
+            pz = oz - h * nz - v0[2]
+            p20 = px * e1[0] + py * e1[1] + pz * e1[2]
+            p21 = px * e2[0] + py * e2[1] + pz * e2[2]
+            pv = (d11 * p20 - d01 * p21) * inv_den
+            pw = (d00 * p21 - d01 * p20) * inv_den
+            overlap = (
+                (jnp.abs(h) <= rr) & (pv >= 0.0) & (pw >= 0.0)
+                & (pv + pw <= 1.0)
+            )
+
+            def capsule(p0, sx, sy, sz, len2):
+                mx, my, mz = ox - p0[0], oy - p0[1], oz - p0[2]
+                md = mx * dx + my * dy + mz * dz
+                ms = mx * sx + my * sy + mz * sz
+                ds = dx * sx + dy * sy + dz * sz
+                mm = mx * mx + my * my + mz * mz
+                inv_l2 = 1.0 / jnp.maximum(len2, 1e-20)
+                aa = 1.0 - ds * ds * inv_l2
+                bb = md - ms * ds * inv_l2
+                cc = mm - ms * ms * inv_l2 - rr * rr
+                start_in = (cc <= 0.0) & (ms >= 0.0) & (ms <= len2)
+                disc = bb * bb - aa * cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                safe_a = jnp.where(jnp.abs(aa) > 1e-12, aa, jnp.float32(1.0))
+                t_cyl = (-bb - sq) / safe_a
+                s_hit = ms + t_cyl * ds
+                ok = (
+                    (jnp.abs(aa) > 1e-12) & (disc >= 0.0) & (t_cyl >= 0.0)
+                    & (s_hit >= 0.0) & (s_hit <= len2)
+                )
+                return jnp.where(ok, t_cyl, inf), start_in
+
+            def sphere(c):
+                mx, my, mz = ox - c[0], oy - c[1], oz - c[2]
+                bb = mx * dx + my * dy + mz * dz
+                cc = mx * mx + my * my + mz * mz - rr * rr
+                disc = bb * bb - cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                ts = -bb - sq
+                ok = (disc >= 0.0) & (ts >= 0.0)
+                return jnp.where(ok, ts, inf), cc <= 0.0
+
+            t_edge, in0 = capsule(v0, e1[0], e1[1], e1[2], d00)
+            overlap = overlap | in0
+            t_e, in1 = capsule(v0, e2[0], e2[1], e2[2], d11)
+            t_edge = jnp.minimum(t_edge, t_e)
+            overlap = overlap | in1
+            t_e, in2 = capsule(v1, e12[0], e12[1], e12[2], l12)
+            t_edge = jnp.minimum(t_edge, t_e)
+            overlap = overlap | in2
+            for c in (v0, v1, v2):
+                t_s, in_s = sphere(c)
+                t_edge = jnp.minimum(t_edge, t_s)
+                overlap = overlap | in_s
+
+            t = jnp.minimum(t_face, t_edge)
+            t = jnp.where(overlap, jnp.float32(0.0), t)
+            t = jnp.where(valid, t, inf)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            t_min = jnp.min(t, axis=1, keepdims=True)
+            idx = jnp.min(
+                jnp.where(t == t_min, lane, jnp.int32(2 ** 30)),
+                axis=1, keepdims=True,
+            )
+            t_ref[sl, :] = t_min
+            idx_ref[sl, :] = idx
+
+    return kernel
+
+
+_SC_CULL_CACHE = {}
+
+
+def _get_sc_cull(CPA: int, K: int, r: float):
+    ck = (CPA, K, r, _interp())
+    if ck in _SC_CULL_CACHE:
+        return _SC_CULL_CACHE[ck]
+
+    AGB = AGENTS_PER_BLOCK
+    kernel = _make_sc_cull_kernel(CPA, K, r)
+
+    def call(cells, rays, sc_table):
+        N = cells.shape[0]
+        grid = (N // AGB,)
+        in_specs = [pl.BlockSpec((AGB * CPA, 8), lambda i, cr: (i, 0))]
+        for a in range(AGB):
+            in_specs.append(
+                pl.BlockSpec((1, SC2_ROWS, K),
+                             (lambda i, cr, a=a: (cr[i * AGB + a], 0, 0)))
+            )
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((AGB * CPA, 1), lambda i, cr: (i, 0)),
+                pl.BlockSpec((AGB * CPA, 1), lambda i, cr: (i, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=[
+                jax.ShapeDtypeStruct((N * CPA, 1), jnp.float32),
+                jax.ShapeDtypeStruct((N * CPA, 1), jnp.int32),
+            ],
+            interpret=_interp(),
+        )(cells, rays, *([sc_table] * AGB))
+
+    @jax.custom_batching.custom_vmap
+    def sc_cull_flat(o, d, cells, sc_table):
+        """o, d: [N, CPA, 3]; cells [N] -> (t [N, CPA], idx [N, CPA])."""
+        N = o.shape[0]
+        N_pad = -(-max(N, 1) // AGB) * AGB
+        rays = jnp.concatenate(
+            [o.reshape(N * CPA, 3), d.reshape(N * CPA, 3),
+             jnp.zeros((N * CPA, 2), jnp.float32)],
+            axis=1,
+        )
+        rays = jnp.pad(rays, ((0, (N_pad - N) * CPA), (0, 0)))
+        cells_p = jnp.pad(cells.astype(jnp.int32), (0, N_pad - N))
+        t, idx = call(cells_p, rays, sc_table)
+        return (
+            t[: N * CPA, 0].reshape(N, CPA),
+            idx[: N * CPA, 0].reshape(N, CPA),
+        )
+
+    @sc_cull_flat.def_vmap
+    def _vmap(axis_size, in_batched, o, d, cells, sc_table):
+        ob, db, cb, tb = in_batched
+        assert not tb
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        t, idx = sc_cull_flat(bcast(o, ob), bcast(d, db), bcast(cells, cb),
+                              sc_table)
+        return (
+            (t.reshape((B, -1) + t.shape[1:]),
+             idx.reshape((B, -1) + idx.shape[1:])),
+            (True, True),
+        )
+
+    _SC_CULL_CACHE[ck] = sc_cull_flat
+    return sc_cull_flat
+
+
+def sphere_cast_cull(o, d, r: float, cells, tables, soup, t_max=INF):
+    """Culled grouped sphere casts. o, d: [..., CPA, 3]; cells [...] — one
+    cell per *group* (the casting agent). Returns (t [..., CPA],
+    normal [..., CPA, 3]) with ops/raycast.sphere_cast_vs_tris semantics."""
+    batch_shape = o.shape[:-2]
+    CPA = o.shape[-2]
+    N = int(np.prod(batch_shape)) if batch_shape else 1
+
+    sc = _get_sc_cull(CPA, tables.K, float(r))
+    t, kidx = sc(
+        o.reshape(N, CPA, 3), d.reshape(N, CPA, 3), cells.reshape(N),
+        tables.sc_packed,
+    )
+
+    # winner-only normal reconstruction (as sphere_cast_vs_tris_pallas):
+    # map the in-cell winner lane back to the original triangle
+    cells_f = cells.reshape(N)
+    kidx_c = jnp.clip(kidx, 0, tables.K - 1)
+    orig = tables.cand_idx[cells_f[:, None], kidx_c]  # [N, CPA]
+    orig = jnp.clip(orig, 0, soup.v0.shape[0] - 1)
+
+    from .raycast import _closest_point_on_tri
+
+    of = o.reshape(N, CPA, 3)
+    df = d.reshape(N, CPA, 3)
+    v0 = soup.v0[orig]
+    e1 = soup.e1[orig]
+    e2 = soup.e2[orig]
+    n = soup.normal[orig]
+
+    finite_t = jnp.where(jnp.isfinite(t), t, 0.0)
+    hit_center = of + finite_t[..., None] * df
+    closest = _closest_point_on_tri(hit_center, v0, e1, e2)
+    depen = hit_center - closest
+    dlen = jnp.linalg.norm(depen, axis=-1, keepdims=True)
+    edge_n = jnp.where(
+        dlen > 1e-12, depen / jnp.maximum(dlen, 1e-30),
+        jnp.array([0.0, 0.0, 1.0]),
+    )
+    h = jnp.sum((of - v0) * n, axis=-1)
+    sign = jnp.where(h >= 0.0, 1.0, -1.0)
+    face_n = sign[..., None] * n
+    is_face = jnp.abs(jnp.sum(edge_n * n, axis=-1)) > 0.999
+    normal = jnp.where(is_face[..., None], face_n, edge_n)
+
+    missed = ~jnp.isfinite(t) | (t > t_max)
+    t_final = jnp.where(missed, INF, t)
+    normal = jnp.where(missed[..., None], 0.0, normal)
+    return (
+        t_final.reshape(batch_shape + (CPA,)),
+        normal.reshape(batch_shape + (CPA, 3)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fan_capsules: per-world sensor rays vs agent capsules
+# ---------------------------------------------------------------------------
+#
+# Layout: capsules ride the SUBLANE axis (12 -> 16 rows), rays the LANE axis
+# (A*F per world, padded to 128). The XLA formulation materializes
+# [W, A, F, A] broadcast temporaries in HBM; here everything stays in VMEM.
+
+_CAP_ROWS = 16
+
+
+def _make_cap_kernel(AF: int, A: int, radius: float, seg_h: float):
+    rr = float(radius)
+    sh = float(seg_h)
+
+    def kernel(rays_ref, caps_ref, t_ref, idx_ref):
+        r = rays_ref[0]  # [8, AF]: ox oy oz dx dy dz self_idx pad
+        ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
+        dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
+        self_idx = r[6:7, :]
+
+        caps = caps_ref[0]  # [16, 8]: px py pz alive
+        shape = (_CAP_ROWS, AF)
+
+        def col(j):
+            return jax.lax.broadcast_in_dim(caps[:, j:j + 1], shape, (0, 1))
+
+        px, py, pz = col(0), col(1), col(2)
+        alive = col(3) > 0.0
+
+        cap_i = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        valid = alive & (cap_i != self_idx) & (cap_i < float(A))
+
+        # capsule segment: p0 = base + (0,0,r), axis +z, length sh
+        mx = ox - px
+        my = oy - py
+        mz = oz - (pz + rr)
+        # cylinder: c = mx^2 + my^2 - r^2 (z-aligned axis drops out)
+        aa = 1.0 - dz * dz  # [1, AF]
+        bb = (mx * dx + my * dy + mz * dz) - mz * dz
+        cc = mx * mx + my * my - rr * rr
+        disc = bb * bb - aa * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        safe_a = jnp.where(jnp.abs(aa) > 1e-12, aa, jnp.float32(1.0))
+        t_cyl = (-bb - sq) / safe_a
+        zh = mz + t_cyl * dz
+        inf = jnp.float32(np.inf)
+        cyl_ok = (
+            (jnp.abs(aa) > 1e-12) & (disc >= 0.0) & (t_cyl >= 0.0)
+            & (zh >= 0.0) & (zh <= sh)
+        )
+        t = jnp.where(cyl_ok, t_cyl, inf)
+
+        # end-cap spheres at z offsets 0 and sh
+        for z0 in (0.0, sh):
+            mzz = mz - z0
+            b2 = mx * dx + my * dy + mzz * dz
+            c2 = mx * mx + my * my + mzz * mzz - rr * rr
+            disc2 = b2 * b2 - c2
+            sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+            ts = -b2 - sq2
+            ok = (disc2 >= 0.0) & (ts >= 0.0)
+            t = jnp.minimum(t, jnp.where(ok, ts, inf))
+
+        t = jnp.where(valid, t, inf)
+        t_min = jnp.min(t, axis=0, keepdims=True)
+        row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        idx = jnp.min(
+            jnp.where(t == t_min, row, jnp.int32(2 ** 30)),
+            axis=0, keepdims=True,
+        )
+        t_ref[0] = t_min
+        idx_ref[0] = jnp.where(jnp.isfinite(t_min), idx, -1)
+
+    return kernel
+
+
+_CAP_CACHE = {}
+
+
+def _get_cap_kernel(AF_pad: int, A: int, radius: float, seg_h: float):
+    ck = (AF_pad, A, radius, seg_h, _interp())
+    if ck in _CAP_CACHE:
+        return _CAP_CACHE[ck]
+
+    kernel = _make_cap_kernel(AF_pad, A, radius, seg_h)
+
+    def call(rays, caps):
+        W = rays.shape[0]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((1, 8, AF_pad), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, _CAP_ROWS, 8), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, AF_pad), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 1, AF_pad), lambda i: (i, 0, 0)),
+            ],
+        )
+
+        return pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=[
+                jax.ShapeDtypeStruct((W, 1, AF_pad), jnp.float32),
+                jax.ShapeDtypeStruct((W, 1, AF_pad), jnp.int32),
+            ],
+            interpret=_interp(),
+        )(rays, caps)
+
+    _CAP_CACHE[ck] = call
+    return call
+
+
+_CAP_FLAT_CACHE = {}
+
+
+def _get_cap_flat(A: int, F: int, radius: float, seg_h: float):
+    ck = (A, F, radius, seg_h, _interp())
+    if ck in _CAP_FLAT_CACHE:
+        return _CAP_FLAT_CACHE[ck]
+
+    AF = A * F
+    AF_pad = -(-AF // 128) * 128
+
+    def _run(o, dirs, self_idx, cap_pos, alive):
+        W = o.shape[0]
+        rays = jnp.concatenate(
+            [
+                o.reshape(W, AF, 3),
+                dirs.reshape(W, AF, 3),
+                self_idx.reshape(W, AF, 1).astype(jnp.float32),
+                jnp.zeros((W, AF, 1), jnp.float32),
+            ],
+            axis=-1,
+        )  # [W, AF, 8]
+        rays = jnp.pad(rays, ((0, 0), (0, AF_pad - AF), (0, 0)))
+        rays = rays.transpose(0, 2, 1)  # [W, 8, AF_pad]
+
+        caps = jnp.concatenate(
+            [cap_pos, alive.astype(jnp.float32)[..., None]], axis=-1
+        )  # [W, A, 4]
+        caps = jnp.pad(caps, ((0, 0), (0, _CAP_ROWS - A), (0, 4)))
+
+        call = _get_cap_kernel(AF_pad, A, radius, seg_h)
+        t, idx = call(rays, caps)
+        t = t[:, 0, :AF].reshape(W, A, F)
+        idx = idx[:, 0, :AF].reshape(W, A, F)
+        return t, idx
+
+    @jax.custom_batching.custom_vmap
+    def cap_flat(o, dirs, self_idx, cap_pos, alive):
+        """Single world: o/dirs [A, F, 3], self_idx [A, F], cap_pos [A, 3],
+        alive [A] -> (t [A, F], idx [A, F])."""
+        t, idx = _run(
+            o[None], dirs[None], self_idx[None], cap_pos[None], alive[None]
+        )
+        return t[0], idx[0]
+
+    @cap_flat.def_vmap
+    def _vmap(axis_size, in_batched, o, dirs, self_idx, cap_pos, alive):
+        W = axis_size
+
+        def bc(x, batched):
+            if batched:
+                return x
+            return jnp.broadcast_to(x[None], (W,) + x.shape)
+
+        t, idx = _run(*[
+            bc(x, b) for x, b in zip(
+                (o, dirs, self_idx, cap_pos, alive), in_batched
+            )
+        ])
+        return (t, idx), (True, True)
+
+    _CAP_FLAT_CACHE[ck] = cap_flat
+    return cap_flat
+
+
+def fan_capsules(o, dirs, self_idx, cap_pos, alive, radius, seg_h):
+    """Sensor rays vs the world's agent capsules, one world per grid step.
+
+    Per-world shapes (vmap over worlds batches them into the kernel grid):
+    o, dirs [A, F, 3]; self_idx [A, F] (capsule to exclude); cap_pos [A, 3];
+    alive [A] bool. Returns (t [A, F] (inf miss), hit_idx [A, F] i32, -1 on
+    miss). Mirrors ops.raycast.ray_vs_capsules + argmin (checkCapsuleEntity,
+    reference src/utils.cpp:34-54)."""
+    A, F = o.shape[-3], o.shape[-2]
+    cap = _get_cap_flat(A, F, float(radius), float(seg_h))
+    return cap(o, dirs, self_idx, cap_pos, alive)

@@ -62,6 +62,7 @@ def fire_system(
     state: WorldState,
     actions: Actions,
     key: jax.Array,
+    cells=None,
 ):
     A = cfg.num_agents
     team_size = cfg.team_size
@@ -132,7 +133,9 @@ def fire_system(
     t_caps = jnp.where(
         self_idx[:, None] == self_idx[None, :], INF, t_caps
     )
-    t_world = ray_vs_tris(fire_from, fire_dir, m.tris)
+    t_world = ray_vs_tris(
+        fire_from, fire_dir, m.tris, cells=cells, tables=m.cells
+    )
     t_cap_min = jnp.min(t_caps, axis=-1)
     cap_idx = jnp.argmin(t_caps, axis=-1)
     cap_hit = t_cap_min < t_world

@@ -17,10 +17,14 @@ from .. import consts
 from ..config import EnvConfig
 from ..assets.map_data import MapData
 from ..ops import geom
-from ..ops.raycast import sphere_cast_vs_tris
+from ..ops.raycast import sphere_cast_grouped
 from .types import Actions, Pose, WorldState
 
 INF = jnp.inf
+
+# unstick probes treat anything clear beyond this as fully open (see
+# apply_velocity_system; keeps dense and cell-culled backends identical)
+UNSTICK_RANGE = 64.0
 
 # nonlinear discrete-aim turn tables (sim.cpp:2300-2323); numpy at module
 # scope (device constants are created lazily under trace)
@@ -145,15 +149,23 @@ def aim_systems(cfg: EnvConfig, state: WorldState, actions: Actions):
     )
 
 
-def _cast(m: MapData, o, d, r):
-    t, n = sphere_cast_vs_tris(o, d, r, m.tris)
-    return t, n
+def _cast_group(m: MapData, o, d, r, cells):
+    """Grouped sphere casts [A, CPA, 3] against the map (culled kernel when
+    the map has candidate tables)."""
+    return sphere_cast_grouped(
+        o, d, r, m.tris, cells=cells, tables=m.cells
+    )
 
 
-def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState):
+def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
+                          cells=None):
     """Capsule collide-and-slide via sphere casts (applyVelocitySystem,
     sim.cpp:889-1028). Returns (new_pos, new_vel) committed immediately
-    (updateMoveStateSystem)."""
+    (updateMoveStateSystem).
+
+    The ~10 casts per agent are batched into three launches by data
+    dependency: L1 = {slope, low, high, unstick x4} (all from the start
+    position), L2 = {slide, unstick ground-check}, L3 = {ground snap}."""
     r = consts.agent_radius
     buf = 0.05 * r
     up = jnp.array([0.0, 0.0, 1.0])
@@ -176,20 +188,34 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState):
     )
     is_prone = cur == Pose.Prone
 
-    # slope check: downward cast from top of capsule
+    # ---- L1: slope + two forward casts + 4 unstick probes (all from x) ----
+    down = jnp.broadcast_to(-up, x.shape)
     o_slope = x + up * top[:, None]
-    t_s, n_s = _cast(m, o_slope, -up[None, :] * jnp.ones_like(x), r)
+    o_low = x + v_norm * (buf * 0.5) + up * low[:, None]
+    o_high = x + v_norm * (buf * 0.5) + up * top[:, None]
+    un_dirs = jnp.stack(
+        [geom.rotate_z(v_norm, k * consts.pi * 0.5) for k in range(4)], axis=1
+    )  # [A, 4, 3]
+    o_un = x[:, None, :] - un_dirs * (2.0 * r) + up * low[:, None, None]
+
+    o1 = jnp.concatenate(
+        [jnp.stack([o_slope, o_low, o_high], axis=1), o_un], axis=1
+    )  # [A, 7, 3]
+    d1 = jnp.concatenate(
+        [jnp.stack([down, v_norm, v_norm], axis=1), un_dirs], axis=1
+    )
+    t1, n1 = _cast_group(m, o1, d1, r, cells)
+    t_s, n_s = t1[:, 0], n1[:, 0]
+    t_low, n_low = t1[:, 1], n1[:, 1]
+    t_high, n_high = t1[:, 2], n1[:, 2]
+    t_un = t1[:, 3:7]
+
     slope_block = (
         (n_s[:, 2] > 0.0)
         & (n_s[:, 2] < 0.7)
         & (jnp.einsum("ad,ad->a", n_s, v_norm) < 0.0)
     )
 
-    # two forward casts (one when prone)
-    o_low = x + v_norm * (buf * 0.5) + up * low[:, None]
-    t_low, n_low = _cast(m, o_low, v_norm, r)
-    o_high = x + v_norm * (buf * 0.5) + up * top[:, None]
-    t_high, n_high = _cast(m, o_high, v_norm, r)
     t_high = jnp.where(is_prone, t_low, t_high)
     n_high = jnp.where(is_prone[:, None], n_low, n_high)
 
@@ -202,8 +228,24 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState):
     low_dist = jnp.maximum(0.0, low_dist_raw - buf)
     hit_pos = x + v_norm * jnp.minimum(low_dist, move_dist)[:, None]
 
-    # one step of wall sliding
-    slide_needed = move_dist > low_dist
+    # unstick resolution (sim.cpp:984-1012); the cast origins only depend
+    # on x so the probes rode L1, and the unstick ground check rides L2.
+    # Probe distances are range-clamped: any direction clear beyond
+    # UNSTICK_RANGE counts as fully open (the reference argmaxes unclamped
+    # distances, src/sim.cpp:1000; clamping keeps the choice identical
+    # across dense/culled backends and an escape needs only ~2r of room)
+    t_un_val = jnp.where(t_un > UNSTICK_RANGE, 3.0e38, t_un)
+    furthest = jnp.max(t_un_val, axis=1)
+    best_dir_idx = jnp.argmax(t_un_val, axis=1)
+    best_dir = jnp.take_along_axis(
+        un_dirs, best_dir_idx[:, None, None], axis=1
+    )[:, 0, :]
+    any_dir = furthest > 0.0
+    un_step = jnp.minimum(furthest - 2.0 * r, -buf)
+    un_pos = x + best_dir * un_step[:, None]
+    un_gc = un_pos + up * top[:, None]
+
+    # ---- L2: one slide step + unstick ground check ----
     slide_dir = jnp.cross(jnp.broadcast_to(up, normal.shape), normal)
     slide_dir = geom.normalize(slide_dir)
     flip = jnp.einsum("ad,ad->a", slide_dir, v_norm) < 0.0
@@ -211,7 +253,14 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState):
     o_slide = x + v_norm * low_dist[:, None] + up * jnp.where(
         high_hit, top, low
     )[:, None]
-    t_slide, _ = _cast(m, o_slide, slide_dir, r)
+
+    o2 = jnp.stack([o_slide, un_gc], axis=1)
+    d2 = jnp.stack([slide_dir, down], axis=1)
+    t2, _ = _cast_group(m, o2, d2, r, cells)
+    t_slide = t2[:, 0]
+    t_ground_un = t2[:, 1]
+
+    slide_needed = move_dist > low_dist
     slide_dist = jnp.maximum(0.0, t_slide - buf)
     slide_dist = jnp.minimum(slide_dist, jnp.maximum(move_dist - low_dist, 0.0))
     hit_pos = jnp.where(
@@ -220,32 +269,12 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState):
         hit_pos,
     )
 
-    # ground snap under final position
+    # ---- L3: ground snap under the slid position ----
     gc_pos = hit_pos + up * top[:, None]
-    t_ground, _ = _cast(m, gc_pos, -up[None, :] * jnp.ones_like(x), r)
-    no_ground = jnp.isinf(t_ground)
+    t3, _ = _cast_group(m, gc_pos[:, None, :], down[:, None, :], r, cells)
+    t_ground = t3[:, 0]
 
-    # unstick: cast from 4 rotated directions (sim.cpp:984-1012)
     need_unstick = (t_ground <= 0.0) | stuck
-    dirs = jnp.stack(
-        [geom.rotate_z(v_norm, k * consts.pi * 0.5) for k in range(4)], axis=1
-    )  # [A, 4, 3]
-    o_un = x[:, None, :] - dirs * (2.0 * r) + up * low[:, None, None]
-    t_un, _ = sphere_cast_vs_tris(o_un, dirs, r, m.tris)
-    # in the reference, a miss returns FLT_MAX which counts as the furthest
-    # hit; emulate by treating inf as a huge value
-    t_un_val = jnp.where(jnp.isinf(t_un), 3.0e38, t_un)
-    furthest = jnp.max(t_un_val, axis=1)
-    best_dir_idx = jnp.argmax(t_un_val, axis=1)
-    best_dir = jnp.take_along_axis(dirs, best_dir_idx[:, None, None], axis=1)[
-        :, 0, :
-    ]
-    any_dir = furthest > 0.0
-    un_step = jnp.minimum(furthest - 2.0 * r, -buf)
-    un_pos = x + best_dir * un_step[:, None]
-    un_gc = un_pos + up * top[:, None]
-    t_ground_un, _ = _cast(m, un_gc, -up[None, :] * jnp.ones_like(x), r)
-
     hit_pos = jnp.where((need_unstick & any_dir)[:, None], un_pos, hit_pos)
     gc_pos = jnp.where((need_unstick & any_dir)[:, None], un_gc, gc_pos)
     t_ground = jnp.where(need_unstick & any_dir, t_ground_un, t_ground)
@@ -267,14 +296,16 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState):
     return state.replace(pos=out_pos, vel=out_vel)
 
 
-def fall_system(cfg: EnvConfig, m: MapData, state: WorldState):
+def fall_system(cfg: EnvConfig, m: MapData, state: WorldState, cells=None):
     """Gravity-limited ground snap (fallSystem, sim.cpp:1041-1095)."""
     r = consts.agent_radius
     cast_offset = r
     up = jnp.array([0.0, 0.0, 1.0])
 
     o = state.pos + up * (r + cast_offset)
-    t_ground, _ = _cast(m, o, -up[None, :] * jnp.ones_like(state.pos), r)
+    down = jnp.broadcast_to(-up, o.shape)
+    t4, _ = _cast_group(m, o[:, None, :], down[:, None, :], r, cells)
+    t_ground = t4[:, 0]
 
     no_fall = jnp.isinf(t_ground) | (t_ground < cast_offset)
     fall_dist = jnp.minimum(

@@ -38,27 +38,28 @@ _HX, _HY = (lambda x, y: (x / math.hypot(x, y), y / math.hypot(x, y)))(_F, 1.0)
 
 
 def _trace_world_and_agents(m: MapData, o, d, pos, alive_mask, self_idx=None,
-                            t_world=None):
+                            t_world=None, t_cap=None, cap_idx=None):
     """Shared ray query: (t, hit_agent) vs world tris + alive agent capsules.
-    hit_agent = -1 for wall; t = inf on miss. o/d: [..., 3]. ``t_world`` may
-    be precomputed (fused sensor fan kernel) to skip the tri sweep."""
+    hit_agent = -1 for wall; t = inf on miss. o/d: [..., 3]. ``t_world`` and
+    ``t_cap``/``cap_idx`` may be precomputed (fused sensor kernels)."""
     if t_world is None:
         t_world = ray_vs_tris(o, d, m.tris)
-    t_caps = ray_vs_capsules(
-        o,
-        d,
-        pos,
-        consts.agent_radius,
-        consts.stand_height - 2.0 * consts.agent_radius,
-        alive_mask,
-    )  # [..., A]
-    if self_idx is not None:
-        A = pos.shape[0]
-        t_caps = jnp.where(
-            self_idx[..., None] == jnp.arange(A), INF, t_caps
-        )
-    t_cap = jnp.min(t_caps, axis=-1)
-    cap_idx = jnp.argmin(t_caps, axis=-1)
+    if t_cap is None:
+        t_caps = ray_vs_capsules(
+            o,
+            d,
+            pos,
+            consts.agent_radius,
+            consts.stand_height - 2.0 * consts.agent_radius,
+            alive_mask,
+        )  # [..., A]
+        if self_idx is not None:
+            A = pos.shape[0]
+            t_caps = jnp.where(
+                self_idx[..., None] == jnp.arange(A), INF, t_caps
+            )
+        t_cap = jnp.min(t_caps, axis=-1)
+        cap_idx = jnp.argmin(t_caps, axis=-1)
     cap_first = t_cap < t_world
     t = jnp.minimum(t_world, t_cap)
     hit_agent = jnp.where(cap_first, cap_idx, -1)
@@ -127,13 +128,16 @@ def _los_geometry(cfg: EnvConfig, state: WorldState):
     }
 
 
-def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState):
+def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState,
+                      cells=None):
     """ONE fused ray-fan launch for all of an agent's per-step sensor rays
     (LOS samples + fwd/rear lidar): each agent's rays share a base origin
     (its position; per-ray z offset), so the TPU fan kernel hoists the
-    origin-dependent intersection terms and batches the direction dots on
-    the MXU. Returns geometry + world-hit distances for
-    visibility_system / lidar_system."""
+    origin-dependent intersection terms and sweeps only the agent's cell
+    candidates (ops/culling.py) when the map has tables. The agent-capsule
+    sweep for the same rays is one fused Pallas launch per step
+    (ops/raycast_cull.fan_capsules). Returns geometry + world/capsule hit
+    data for visibility_system / lidar_system."""
     A = cfg.num_agents
     ts = cfg.team_size
 
@@ -166,22 +170,60 @@ def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState):
         axis=1,
     )
 
-    t = ray_fans_vs_tris(state.pos, zoffs, dirs, m.tris)
+    t = ray_fans_vs_tris(
+        state.pos, zoffs, dirs, m.tris, cells=cells, tables=m.cells
+    )
 
     o = state.pos[:, None, :] + jnp.stack(
         [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
     )
+
+    # capsule sweep for every sensor ray in one pass (self always excluded —
+    # both the LOS and lidar paths skip the caster's own capsule)
+    F_total = dirs.shape[1]
+    self_idx = jnp.broadcast_to(
+        jnp.arange(A, dtype=jnp.int32)[:, None], (A, F_total)
+    )
+    alive = state.alive > 0.0
+    seg_h = consts.stand_height - 2.0 * consts.agent_radius
+    from ..ops.raycast import use_pallas
+
+    if use_pallas():
+        from ..ops.raycast_cull import fan_capsules
+
+        t_cap, cap_idx = fan_capsules(
+            o, dirs, self_idx, state.pos, alive,
+            consts.agent_radius, seg_h,
+        )
+    else:
+        t_caps = ray_vs_capsules(
+            o, dirs, state.pos, consts.agent_radius, seg_h, alive
+        )  # [A, F, A]
+        t_caps = jnp.where(
+            self_idx[..., None] == jnp.arange(A), INF, t_caps
+        )
+        t_cap = jnp.min(t_caps, axis=-1)
+        cap_idx = jnp.argmin(t_caps, axis=-1)
+        cap_idx = jnp.where(jnp.isinf(t_cap), -1, cap_idx)
+
     H_f, W_f = consts.fwd_lidar_height, consts.fwd_lidar_width
     H_r, W_r = consts.rear_lidar_height, consts.rear_lidar_width
+    s0, s1 = ts * 4, ts * 4 + n_fwd
     return {
         "los": los,
-        "los_t": t[:, : ts * 4].reshape(A, ts, 4),
-        "fwd_t": t[:, ts * 4 : ts * 4 + n_fwd].reshape(A, H_f, W_f),
-        "rear_t": t[:, ts * 4 + n_fwd :].reshape(A, H_r, W_r),
+        "los_t": t[:, :s0].reshape(A, ts, 4),
+        "fwd_t": t[:, s0:s1].reshape(A, H_f, W_f),
+        "rear_t": t[:, s1:].reshape(A, H_r, W_r),
+        "los_cap_t": t_cap[:, :s0].reshape(A, ts, 4),
+        "fwd_cap_t": t_cap[:, s0:s1].reshape(A, H_f, W_f),
+        "rear_cap_t": t_cap[:, s1:].reshape(A, H_r, W_r),
+        "los_cap_idx": cap_idx[:, :s0].reshape(A, ts, 4),
+        "fwd_cap_idx": cap_idx[:, s0:s1].reshape(A, H_f, W_f),
+        "rear_cap_idx": cap_idx[:, s1:].reshape(A, H_r, W_r),
         "fwd_dirs": fwd_dirs,
         "rear_dirs": rear_dirs,
-        "fwd_o": o[:, ts * 4 : ts * 4 + n_fwd].reshape(A, H_f, W_f, 3),
-        "rear_o": o[:, ts * 4 + n_fwd :].reshape(A, H_r, W_r, 3),
+        "fwd_o": o[:, s0:s1].reshape(A, H_f, W_f, 3),
+        "rear_o": o[:, s1:].reshape(A, H_r, W_r, 3),
     }
 
 
@@ -222,10 +264,12 @@ def visibility_system(cfg: EnvConfig, m: MapData, state: WorldState,
 
     if sensor is None:
         los = _los_geometry(cfg, state)
-        los_t = None
+        los_t = cap_t = cap_idx = None
     else:
         los = sensor["los"]
         los_t = sensor["los_t"]  # [A, ts, 4]
+        cap_t = sensor["los_cap_t"]
+        cap_idx = sensor["los_cap_idx"]
 
     opp_idx = los["opp_idx"]
     ray_d = los["ray_d"]
@@ -234,7 +278,8 @@ def visibility_system(cfg: EnvConfig, m: MapData, state: WorldState,
         jnp.arange(A)[:, None, None], ray_d.shape[:-1]
     )
     t_hit, hit_agent = _trace_world_and_agents(
-        m, o, ray_d, state.pos, state.alive > 0.0, self_idx, t_world=los_t
+        m, o, ray_d, state.pos, state.alive > 0.0, self_idx, t_world=los_t,
+        t_cap=cap_t, cap_idx=cap_idx,
     )
     ray_ok = hit_agent == opp_idx[:, :, None]
 
@@ -568,13 +613,14 @@ def lidar_system(cfg: EnvConfig, m: MapData, state: WorldState, sensor=None):
     teams = jnp.arange(A, dtype=jnp.int32) // cfg.team_size
     max_dist = m.max_dist
 
-    def fan(o, db, t_world):
+    def fan(o, db, t_world, cap_t=None, cap_idx=None):
         n_h, n_w = db.shape[1], db.shape[2]
         self_idx = jnp.broadcast_to(
             jnp.arange(A)[:, None, None], (A, n_h, n_w)
         )
         t, hit_agent = _trace_world_and_agents(
-            m, o, db, state.pos, state.alive > 0.0, self_idx, t_world=t_world
+            m, o, db, state.pos, state.alive > 0.0, self_idx,
+            t_world=t_world, t_cap=cap_t, cap_idx=cap_idx,
         )
         hit = ~jnp.isinf(t)
         depth = jnp.where(hit, jnp.minimum(t, max_dist), -1.0)
@@ -595,8 +641,14 @@ def lidar_system(cfg: EnvConfig, m: MapData, state: WorldState, sensor=None):
     if sensor is None:
         sensor = build_sensor_rays(cfg, m, state)
 
-    fwd_lidar = fan(sensor["fwd_o"], sensor["fwd_dirs"], sensor["fwd_t"])
-    rear_lidar = fan(sensor["rear_o"], sensor["rear_dirs"], sensor["rear_t"])
+    fwd_lidar = fan(
+        sensor["fwd_o"], sensor["fwd_dirs"], sensor["fwd_t"],
+        sensor["fwd_cap_t"], sensor["fwd_cap_idx"],
+    )
+    rear_lidar = fan(
+        sensor["rear_o"], sensor["rear_dirs"], sensor["rear_t"],
+        sensor["rear_cap_t"], sensor["rear_cap_idx"],
+    )
 
     state = state.replace(prev_fwd_depth=fwd_lidar[..., 0])
     return state, {"fwd_lidar": fwd_lidar, "rear_lidar": rear_lidar}

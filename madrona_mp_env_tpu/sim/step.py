@@ -42,6 +42,15 @@ def step_world(
 ) -> Tuple[WorldState, Dict[str, jax.Array]]:
     stepk = rng.step_key(state.episode_key, state.cur_step)
 
+    # raycast-culling cell of record for this step's movement/fire queries
+    # (intra-step drift stays within culling.QUERY_MARGIN of these cells)
+    if m.cells is not None:
+        from ..ops.culling import cell_index
+
+        cells_pre = cell_index(m.cells, state.pos)
+    else:
+        cells_pre = None
+
     # 1-2. scripted bot + action overlay
     bot_acts = bot.plan_bot_actions(
         cfg, m, state, rng.system_key(stepk, rng.Salt.BOT)
@@ -58,8 +67,8 @@ def step_world(
     # 5. movement chain
     state = movement.movement_system(cfg, state, actions)
     state = movement.aim_systems(cfg, state, actions)
-    state = movement.apply_velocity_system(cfg, m, state)
-    state = movement.fall_system(cfg, m, state)
+    state = movement.apply_velocity_system(cfg, m, state, cells=cells_pre)
+    state = movement.fall_system(cfg, m, state, cells=cells_pre)
 
     # 6. combat (fireSystem, or hlBattleSystem in high-level-move mode)
     if cfg.highlevel_move:
@@ -68,7 +77,8 @@ def step_world(
         state, fire_events = hl_battle.hl_battle_system(cfg, m, state)
     else:
         state, fire_events = combat.fire_system(
-            cfg, m, state, actions, rng.system_key(stepk, rng.Salt.FIRE)
+            cfg, m, state, actions, rng.system_key(stepk, rng.Salt.FIRE),
+            cells=cells_pre,
         )
 
     # 7. damage / respawn / autoheal
@@ -169,7 +179,13 @@ def step_world(
         cfg, m, state, init_key_data, sim_ctrl, force_reset
     )
 
-    sensor = observations.build_sensor_rays(cfg, m, state)
+    if m.cells is not None:
+        from ..ops.culling import cell_index
+
+        cells_post = cell_index(m.cells, state.pos)
+    else:
+        cells_post = None
+    sensor = observations.build_sensor_rays(cfg, m, state, cells=cells_post)
     can_see, opp_idx = observations.visibility_system(
         cfg, m, state, sensor=sensor
     )
@@ -215,7 +231,13 @@ def init_and_observe(
     state = reset_mod.reset_system(
         cfg, m, state, init_key_data, sim_ctrl, jnp.ones((), jnp.int32)
     )
-    sensor = observations.build_sensor_rays(cfg, m, state)
+    if m.cells is not None:
+        from ..ops.culling import cell_index
+
+        cells_post = cell_index(m.cells, state.pos)
+    else:
+        cells_post = None
+    sensor = observations.build_sensor_rays(cfg, m, state, cells=cells_post)
     can_see, opp_idx = observations.visibility_system(
         cfg, m, state, sensor=sensor
     )

@@ -1,0 +1,76 @@
+"""Build + verify per-cell raycast culling tables for a map directory.
+
+Usage:
+    python -m madrona_mp_env_tpu.tools.build_culling data/simple_map \
+        [--cells 16] [--rays-per-cell 60000] [--verify]
+
+Writes data/<map>/culling_<hash>.npz, which load_map picks up automatically.
+The TPU equivalent of the reference's offline BVH build step
+(src/mesh_bvh_builder.cpp) — run once per map, commit the cache.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene_dir")
+    ap.add_argument("--cells", type=int, default=16)
+    ap.add_argument("--rays-per-cell", type=int, default=60000)
+    ap.add_argument("--casts-per-cell", type=int, default=12000)
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--verify-rays", type=int, default=500000)
+    ap.add_argument("--verify-casts", type=int, default=100000)
+    args = ap.parse_args()
+
+    import os
+
+    from ..assets import formats
+    from ..ops import culling
+
+    col = formats.load_collision_data(
+        os.path.join(args.scene_dir, "collisions.bin")
+    )
+    nav = formats.load_navmesh(os.path.join(args.scene_dir, "navmesh.bin"))
+    import numpy as np
+
+    from ..ops.raycast_pallas import morton_sort_tris
+
+    tri_verts = morton_sort_tris(col.tri_verts)
+
+    walkable = np.concatenate(
+        [nav.verts, nav.verts[nav.tri_indices].mean(axis=1)], axis=0
+    ).astype(np.float32)
+
+    t0 = time.time()
+    tables = culling.load_or_build_cell_tables(
+        tri_verts,
+        cache_dir=args.scene_dir,
+        build_if_missing=True,
+        walkable_points=walkable,
+        cells_per_side=args.cells,
+        rays_per_cell=args.rays_per_cell,
+        casts_per_cell=args.casts_per_cell,
+        progress=True,
+    )
+    print(
+        f"tables: grid {tables.nx}x{tables.ny}, K={tables.K}, "
+        f"built/loaded in {time.time() - t0:.1f}s"
+    )
+
+    if args.verify:
+        t0 = time.time()
+        res = culling.verify_tables(
+            tri_verts, tables,
+            n_rays=args.verify_rays, n_casts=args.verify_casts,
+            walkable_points=walkable,
+        )
+        print(f"verify ({time.time() - t0:.1f}s): {res}")
+        assert res["ray_mismatch"] == 0 and res["sc_mismatch"] == 0, res
+
+
+if __name__ == "__main__":
+    main()
