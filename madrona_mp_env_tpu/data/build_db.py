@@ -188,6 +188,7 @@ def build_db(
         match_row_ids[int(mid)] = cur.lastrowid
 
     step_row_ids = {}  # (match_id_row, step_idx) -> match_steps.id
+    player_row_ids = {}  # (match_id, step_idx, player_idx) -> player_states.id
     for gi in range(len(snaps)):
         s = snaps[gi]
         mrow = match_row_ids[int(s["match_id"])]
@@ -241,6 +242,9 @@ def build_db(
                     int(p["flags"]),
                 ),
             )
+            player_row_ids[(int(s["match_id"]), int(ms["step"]), pi)] = (
+                cur.lastrowid
+            )
 
         for team in range(2):
             xy = players["pos"][
@@ -265,12 +269,21 @@ def build_db(
                 ),
             )
 
-    # events reference their step row
+    # events reference their step row; player references resolve to
+    # player_states ROW IDS for that step, matching the reference's
+    # lookupPlayerID (build_db.cpp:465,525-544) so cross-producer joins
+    # against player_states.id work
     for e in events:
         key = (int(e["match_id"]), int(e["step"]))
         step_id = step_row_ids.get(key)
         if step_id is None:
             continue
+
+        def prow(player_idx):
+            return player_row_ids.get(
+                (int(e["match_id"]), int(e["step"]), int(player_idx)), -1
+            )
+
         et = int(e["type"])
         if et == EventType.CAPTURE:
             mask = int(e["c"])
@@ -284,19 +297,19 @@ def build_db(
             cur.execute(
                 """INSERT OR IGNORE INTO reload_events
                    (step_id, player_state_id, num_bullets) VALUES (?,?,?)""",
-                (step_id, int(e["a"]), int(e["b"])),
+                (step_id, prow(e["a"]), int(e["b"])),
             )
         elif et == EventType.KILL:
             cur.execute(
                 """INSERT OR IGNORE INTO kill_events
                    (step_id, killer_id, killed_id) VALUES (?,?,?)""",
-                (step_id, int(e["a"]), int(e["b"])),
+                (step_id, prow(e["a"]), prow(e["b"])),
             )
         elif et == EventType.PLAYER_SHOT:
             cur.execute(
                 """INSERT OR IGNORE INTO player_shot_events
                    (step_id, attacker_id, target_id) VALUES (?,?,?)""",
-                (step_id, int(e["a"]), int(e["b"])),
+                (step_id, prow(e["a"]), prow(e["b"])),
             )
 
     db.commit()

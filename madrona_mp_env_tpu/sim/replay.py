@@ -68,6 +68,7 @@ def replay_step_world(
     """One replayed step: force state from the log, then the step-graph tail
     (zones -> match info -> rewards -> done -> reset -> obs), mirroring the
     replay taskgraph (sim.cpp:5587-5605)."""
+    prev_bullets = state.mag_bullets  # pre-reload count for Reload events
     state = apply_step_log(cfg, state, log)
 
     if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
@@ -103,10 +104,14 @@ def replay_step_world(
 
     from ..data import export as data_export
 
+    # the log stores POST-reload magazines (fire_system writes bullets =
+    # mag_size and reloading = reload_time - 1 on the reload step), so the
+    # reload step is recognizable as reloading == reload_time - 1, and the
+    # event's bullet count is the PREVIOUS step's magazine
+    reload_time = m.weapon_reload_time[state.weapon_type]
     fire_events = {
-        "reload_event": (state.mag_reloading > 0)
-        & (state.mag_bullets == 0),
-        "reload_bullets": state.mag_bullets,
+        "reload_event": state.mag_reloading == (reload_time - 1),
+        "reload_bullets": prev_bullets,
         "shot_event": state.landed_shot_on >= 0,
         "shot_victim": state.landed_shot_on,
         "kill_event": state.successful_kill,

@@ -268,17 +268,18 @@ def spawn_agents(
         # Turret task: turrets at navmesh points with random yaw
         # (level_gen.cpp:462-470)
         if cfg.task == Task.Turret:
-            t_pt = _sample_navmesh_point(k_nav, m)
-            t_yaw = jax.random.uniform(k_nav, ()) * 2.0 * consts.pi
+            k_t_pt, k_t_yaw = jax.random.split(jax.random.fold_in(ki, 91))
+            t_pt = _sample_navmesh_point(k_t_pt, m)
+            t_yaw = jax.random.uniform(k_t_yaw, ()) * 2.0 * consts.pi
             pt = jnp.where(is_turret_row[i], t_pt, pt)
             yaw = jnp.where(is_turret_row[i], t_yaw, yaw)
 
         # --- spawn bookkeeping (utils.cpp:844-946) ---
         weapon = jax.random.randint(k_weapon, (), 0, len(cfg.weapons))
         if cfg.task == Task.Turret:
-            from .turret import TURRET_WEAPON_TYPE
-
-            weapon = jnp.where(is_turret_row[i], TURRET_WEAPON_TYPE, weapon)
+            # the turret weapon is appended after the user weapon table
+            # (EnvConfig.effective_weapons), not a fixed slot
+            weapon = jnp.where(is_turret_row[i], len(cfg.weapons), weapon)
         if randomize_hp:
             hp = jax.random.randint(k_hp, (), 1, 11).astype(jnp.float32) * 10.0
             mag = jax.random.randint(k_mag, (), 0, m.weapon_mag_size[weapon])

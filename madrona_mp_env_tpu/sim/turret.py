@@ -29,7 +29,6 @@ from .combat import view_height
 from .types import Actions, WorldState
 
 # turretFireSystem constants (sim.cpp:1634-1637, 1755)
-TURRET_WEAPON_TYPE = 1
 TURRET_ACCURACY = 0.15
 # max_aim_turn = discreteTurnDelta() * (numTurnBuckets / 2) * deltaT
 # (sim.cpp:1635-1637)

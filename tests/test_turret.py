@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 import madrona_mp_env_tpu as mp
-from madrona_mp_env_tpu.sim.turret import TURRET_WEAPON_TYPE, turret_mask
+from madrona_mp_env_tpu.sim.turret import turret_mask
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +34,8 @@ def test_turret_setup(turret_env):
 
     # turret rows carry the turret weapon; agents the default
     wt = np.asarray(state.weapon_type)
-    assert np.all(wt[:, 2:] == TURRET_WEAPON_TYPE)
+    # the turret weapon is appended after the user weapon table
+    assert np.all(wt[:, 2:] == len(cfg.weapons))
     assert np.all(wt[:, :2] == 0)
     assert np.all(np.asarray(state.alive) == 1.0)
 
