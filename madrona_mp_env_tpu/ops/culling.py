@@ -635,12 +635,16 @@ def verify_tables(
         return td, tc
 
     def mismatches(td, tc):
+        """A real mismatch = different hit/miss or a t difference beyond
+        fp reassociation noise (the two sweeps fuse differently under XLA,
+        so long casts legitimately differ in the last few ulps — relative
+        tolerance, not absolute)."""
         td, tc = np.asarray(td), np.asarray(tc)
+        both = np.isfinite(td) & np.isfinite(tc)
+        diff = np.where(both, np.abs(np.where(both, td, 0) - np.where(both, tc, 0)), 0.0)
+        tol = 1e-3 + 1e-4 * np.abs(np.where(both, td, 0))
         return int(
-            np.sum(
-                (np.isfinite(td) != np.isfinite(tc))
-                | (np.isfinite(td) & np.isfinite(tc) & (np.abs(td - tc) > 1e-3))
-            )
+            np.sum((np.isfinite(td) != np.isfinite(tc)) | (both & (diff > tol)))
         )
 
     ray_mismatch = 0

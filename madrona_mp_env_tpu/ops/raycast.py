@@ -46,6 +46,14 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def use_culling() -> bool:
+    """Per-cell candidate kernels (MPENV_CULL=1). Off by default while the
+    culled kernels' block structure is being reworked — the per-query
+    candidate-block variants measure SLOWER than the dense-soup kernels on
+    simple_map (256 tris); the tables/tests stay, the dispatch is opt-in."""
+    return os.environ.get("MPENV_CULL", "0") == "1"
+
+
 def pallas_interpret() -> bool:
     return pallas_mode() == "interpret"
 
@@ -64,7 +72,7 @@ class TriSoup(NamedTuple):
     normal: jax.Array  # [T, 3] unit geometric normal
     valid: jax.Array  # [T] bool
     packed: jax.Array  # [16, T] Pallas ray-kernel constants
-    sc_packed: jax.Array  # [16, T] Pallas sphere-cast constants
+    sc_packed: jax.Array  # [32, T] Pallas sphere-cast constants (pack_sc2_consts)
     dir_packed: jax.Array  # [16, 3T] bf16 fan-kernel direction matrix
 
 
@@ -73,9 +81,9 @@ def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
     from .raycast_pallas import (
         morton_sort_tris,
         pack_dir_consts,
-        pack_sc_consts,
         pack_tri_consts,
     )
+    from .raycast_cull import pack_sc2_consts
 
     # spatially sort so Pallas lane-tiles of triangles are coherent
     tri_verts = morton_sort_tris(tri_verts)
@@ -101,7 +109,7 @@ def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
         normal=jnp.asarray(n.astype(np.float32)),
         valid=jnp.asarray(valid),
         packed=jnp.asarray(pack_tri_consts(tri_verts, pad_to=padded)),
-        sc_packed=jnp.asarray(pack_sc_consts(tri_verts, pad_to=padded)),
+        sc_packed=jnp.asarray(pack_sc2_consts(tri_verts, pad_to=padded)),
         dir_packed=jnp.asarray(
             pack_dir_consts(pack_tri_consts(tri_verts, pad_to=padded))
         ),
@@ -117,7 +125,7 @@ def ray_vs_tris(o, d, soup: TriSoup, t_max=INF, *, cells=None, tables=None):
     sweep below is the portable reference path (CPU tests, interpret mode).
     """
     if use_pallas():
-        if tables is not None and cells is not None:
+        if tables is not None and cells is not None and use_culling():
             from .raycast_cull import rays_cull
 
             return rays_cull(o, d, cells, tables, t_max=t_max)
@@ -136,7 +144,7 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
     TPU: fused fan kernel over per-cell candidate sets when tables are
     given, else the dense-soup fan kernel; elsewhere the dense sweep."""
     if use_pallas():
-        if tables is not None and cells is not None:
+        if tables is not None and cells is not None and use_culling():
             from .raycast_cull import ray_fans_cull
 
             return ray_fans_cull(origins, zoffs, dirs, cells, tables, t_max)
@@ -150,15 +158,19 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
 
 
 def sphere_cast_grouped(o, d, r, soup: TriSoup, t_max=INF, *, cells=None,
-                        tables=None):
+                        tables=None, with_normal=True):
     """Grouped sphere casts: o, d [..., CPA, 3] — CPA casts per group (the
     casting agent), one culling cell per group. Returns (t [..., CPA],
-    normal [..., CPA, 3]) with sphere_cast_vs_tris semantics."""
-    if use_pallas() and tables is not None and cells is not None:
+    normal [..., CPA, 3]) with sphere_cast_vs_tris semantics.
+    ``with_normal=False`` lets the TPU kernel skip the winner-normal
+    reconstruction (normals zeros) for casts that only consume t."""
+    if (use_pallas() and tables is not None and cells is not None
+            and use_culling()):
         from .raycast_cull import sphere_cast_cull
 
         return sphere_cast_cull(o, d, float(r), cells, tables, soup, t_max)
-    return sphere_cast_vs_tris(o, d, r, soup, t_max)
+    return sphere_cast_vs_tris(o, d, r, soup, t_max,
+                               with_normal=with_normal)
 
 
 def _ray_vs_tris_dense(o, d, soup: TriSoup, t_max=INF):
@@ -321,13 +333,18 @@ def _closest_point_on_tri(p, v0, e1, e2):
     return result
 
 
-def sphere_cast_vs_tris(o, d, r, soup: TriSoup, t_max=INF):
+def sphere_cast_vs_tris(o, d, r, soup: TriSoup, t_max=INF,
+                        with_normal=True):
     """Sphere cast against the map; dispatches to the fused Pallas kernel on
-    TPU, dense jnp sweep elsewhere. Returns (t [...], normal [..., 3])."""
+    TPU, dense jnp sweep elsewhere. Returns (t [...], normal [..., 3]).
+    The dense path always returns real normals; ``with_normal=False`` only
+    relieves the TPU kernel (callers that ignore normals)."""
     if use_pallas():
         from .raycast_pallas import sphere_cast_vs_tris_pallas
 
-        return sphere_cast_vs_tris_pallas(o, d, float(r), soup, t_max=t_max)
+        return sphere_cast_vs_tris_pallas(
+            o, d, float(r), soup, t_max=t_max, with_normal=with_normal
+        )
     return _sphere_cast_vs_tris_dense(o, d, r, soup, t_max)
 
 

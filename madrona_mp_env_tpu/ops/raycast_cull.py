@@ -532,70 +532,77 @@ def sphere_cast_cull(o, d, r: float, cells, tables, soup, t_max=INF):
 # [W, A, F, A] broadcast temporaries in HBM; here everything stays in VMEM.
 
 _CAP_ROWS = 16
+WORLDS_PER_BLOCK = 8
 
 
 def _make_cap_kernel(AF: int, A: int, radius: float, seg_h: float):
     rr = float(radius)
     sh = float(seg_h)
+    WPB = WORLDS_PER_BLOCK
 
     def kernel(rays_ref, caps_ref, t_ref, idx_ref):
-        r = rays_ref[0]  # [8, AF]: ox oy oz dx dy dz self_idx pad
-        ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
-        dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
-        self_idx = r[6:7, :]
+        for w in range(WPB):
+            r = rays_ref[w]  # [8, AF]: ox oy oz dx dy dz self_idx pad
+            ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
+            dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
+            self_idx = r[6:7, :]
 
-        caps = caps_ref[0]  # [16, 8]: px py pz alive
-        shape = (_CAP_ROWS, AF)
+            caps = caps_ref[w]  # [16, 8]: px py pz alive
+            shape = (_CAP_ROWS, AF)
 
-        def col(j):
-            return jax.lax.broadcast_in_dim(caps[:, j:j + 1], shape, (0, 1))
+            def col(j):
+                return jax.lax.broadcast_in_dim(
+                    caps[:, j:j + 1], shape, (0, 1)
+                )
 
-        px, py, pz = col(0), col(1), col(2)
-        alive = col(3) > 0.0
+            px, py, pz = col(0), col(1), col(2)
+            alive = col(3) > 0.0
 
-        cap_i = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
-        valid = alive & (cap_i != self_idx) & (cap_i < float(A))
+            cap_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(
+                jnp.float32
+            )
+            valid = alive & (cap_i != self_idx) & (cap_i < float(A))
 
-        # capsule segment: p0 = base + (0,0,r), axis +z, length sh
-        mx = ox - px
-        my = oy - py
-        mz = oz - (pz + rr)
-        # cylinder: c = mx^2 + my^2 - r^2 (z-aligned axis drops out)
-        aa = 1.0 - dz * dz  # [1, AF]
-        bb = (mx * dx + my * dy + mz * dz) - mz * dz
-        cc = mx * mx + my * my - rr * rr
-        disc = bb * bb - aa * cc
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        safe_a = jnp.where(jnp.abs(aa) > 1e-12, aa, jnp.float32(1.0))
-        t_cyl = (-bb - sq) / safe_a
-        zh = mz + t_cyl * dz
-        inf = jnp.float32(np.inf)
-        cyl_ok = (
-            (jnp.abs(aa) > 1e-12) & (disc >= 0.0) & (t_cyl >= 0.0)
-            & (zh >= 0.0) & (zh <= sh)
-        )
-        t = jnp.where(cyl_ok, t_cyl, inf)
+            # capsule segment: p0 = base + (0,0,r), axis +z, length sh
+            mx = ox - px
+            my = oy - py
+            mz = oz - (pz + rr)
+            # cylinder: c = mx^2 + my^2 - r^2 (z-aligned axis drops out)
+            aa = 1.0 - dz * dz  # [1, AF]
+            bb = (mx * dx + my * dy + mz * dz) - mz * dz
+            cc = mx * mx + my * my - rr * rr
+            disc = bb * bb - aa * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            safe_a = jnp.where(jnp.abs(aa) > 1e-12, aa, jnp.float32(1.0))
+            t_cyl = (-bb - sq) / safe_a
+            zh = mz + t_cyl * dz
+            inf = jnp.float32(np.inf)
+            cyl_ok = (
+                (jnp.abs(aa) > 1e-12) & (disc >= 0.0) & (t_cyl >= 0.0)
+                & (zh >= 0.0) & (zh <= sh)
+            )
+            t = jnp.where(cyl_ok, t_cyl, inf)
 
-        # end-cap spheres at z offsets 0 and sh
-        for z0 in (0.0, sh):
-            mzz = mz - z0
-            b2 = mx * dx + my * dy + mzz * dz
-            c2 = mx * mx + my * my + mzz * mzz - rr * rr
-            disc2 = b2 * b2 - c2
-            sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
-            ts = -b2 - sq2
-            ok = (disc2 >= 0.0) & (ts >= 0.0)
-            t = jnp.minimum(t, jnp.where(ok, ts, inf))
+            # end-cap spheres at z offsets 0 and sh
+            for z0 in (0.0, sh):
+                mzz = mz - z0
+                b2 = mx * dx + my * dy + mzz * dz
+                c2 = mx * mx + my * my + mzz * mzz - rr * rr
+                disc2 = b2 * b2 - c2
+                sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+                ts = -b2 - sq2
+                ok = (disc2 >= 0.0) & (ts >= 0.0)
+                t = jnp.minimum(t, jnp.where(ok, ts, inf))
 
-        t = jnp.where(valid, t, inf)
-        t_min = jnp.min(t, axis=0, keepdims=True)
-        row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        idx = jnp.min(
-            jnp.where(t == t_min, row, jnp.int32(2 ** 30)),
-            axis=0, keepdims=True,
-        )
-        t_ref[0] = t_min
-        idx_ref[0] = jnp.where(jnp.isfinite(t_min), idx, -1)
+            t = jnp.where(valid, t, inf)
+            t_min = jnp.min(t, axis=0, keepdims=True)
+            row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            idx = jnp.min(
+                jnp.where(t == t_min, row, jnp.int32(2 ** 30)),
+                axis=0, keepdims=True,
+            )
+            t_ref[w] = t_min
+            idx_ref[w] = jnp.where(jnp.isfinite(t_min), idx, -1)
 
     return kernel
 
@@ -612,28 +619,33 @@ def _get_cap_kernel(AF_pad: int, A: int, radius: float, seg_h: float):
 
     def call(rays, caps):
         W = rays.shape[0]
+        WPB = WORLDS_PER_BLOCK
+        W_pad = -(-W // WPB) * WPB
+        rays = jnp.pad(rays, ((0, W_pad - W), (0, 0), (0, 0)))
+        caps = jnp.pad(caps, ((0, W_pad - W), (0, 0), (0, 0)))
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(W,),
+            grid=(W_pad // WPB,),
             in_specs=[
-                pl.BlockSpec((1, 8, AF_pad), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, _CAP_ROWS, 8), lambda i: (i, 0, 0)),
+                pl.BlockSpec((WPB, 8, AF_pad), lambda i: (i, 0, 0)),
+                pl.BlockSpec((WPB, _CAP_ROWS, 8), lambda i: (i, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, AF_pad), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, 1, AF_pad), lambda i: (i, 0, 0)),
+                pl.BlockSpec((WPB, 1, AF_pad), lambda i: (i, 0, 0)),
+                pl.BlockSpec((WPB, 1, AF_pad), lambda i: (i, 0, 0)),
             ],
         )
 
-        return pl.pallas_call(
+        t, idx = pl.pallas_call(
             kernel,
             grid_spec=gs,
             out_shape=[
-                jax.ShapeDtypeStruct((W, 1, AF_pad), jnp.float32),
-                jax.ShapeDtypeStruct((W, 1, AF_pad), jnp.int32),
+                jax.ShapeDtypeStruct((W_pad, 1, AF_pad), jnp.float32),
+                jax.ShapeDtypeStruct((W_pad, 1, AF_pad), jnp.int32),
             ],
             interpret=_interp(),
         )(rays, caps)
+        return t[:W], idx[:W]
 
     _CAP_CACHE[ck] = call
     return call

@@ -402,130 +402,68 @@ def ray_fans_vs_tris_pallas(origins, zoffs, dirs, soup, t_max=INF):
 # Sphere cast
 # ---------------------------------------------------------------------------
 #
-# Per-tri packed geometry for the sphere-cast kernel, [16, T]:
-#   rows 0-2   v0            rows 3-5  e1         rows 6-8  e2
-#   rows 9-11  unit normal   row  12   valid
-SC_ROWS = 16
+# One fused kernel per launch: the per-(cast, tri) sweep (face + edge
+# capsules + vertex spheres + start-overlap, Jolt-style semantics matching
+# MeshBVH::sphereCastTriangle, reference src/mesh_bvh.inl:885+) AND the
+# winner-only contact-normal reconstruction. Per-triangle derived constants
+# (edge dots, inverse denominators, squared lengths) are precomputed on the
+# host (raycast_cull.pack_sc2_consts, 32 rows), and the winner's geometry is
+# selected in-VMEM with a lane-match reduction — the earlier XLA epilogue
+# (winner gathers + closest-point outside the kernel) cost more than the
+# sweep itself.
+
+BLOCK_CASTS = 256
 
 
-def pack_sc_consts(tri_verts: np.ndarray, pad_to: int = 256) -> np.ndarray:
-    t = tri_verts.shape[0]
-    T = -(-max(t, 1) // pad_to) * pad_to
-    v = np.zeros((T, 3, 3), np.float64)
-    v[:t] = tri_verts
-    v0 = v[:, 0]
-    e1 = v[:, 1] - v[:, 0]
-    e2 = v[:, 2] - v[:, 0]
-    n = np.cross(e1, e2)
-    ln = np.linalg.norm(n, axis=-1, keepdims=True)
-    n = np.where(ln > 1e-20, n / np.maximum(ln, 1e-30), 0.0)
-    out = np.zeros((SC_ROWS, T), np.float32)
-    out[0:3] = v0.T
-    out[3:6] = e1.T
-    out[6:9] = e2.T
-    out[9:12] = n.T
-    out[12] = ((np.arange(T) < t) & (ln[:, 0] > 1e-20)).astype(np.float32)
-    return out
+def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
+    rr = float(r)
 
-
-def _dot3(ax, ay, az, bx, by, bz):
-    return ax * bx + ay * by + az * bz
-
-
-def _ray_capsule_t(ox, oy, oz, dx, dy, dz, p0, sx, sy, sz, len2, r):
-    """Nearest t of rays vs capsules around segments p0..p0+s (all component
-    args broadcast to [BR, T]); returns (t [BR, T] (inf miss), start_in
-    [BR, T]: the ray origin already lies inside the cylinder within the
-    segment bounds — the edge's Voronoi overlap region)."""
-    mx, my, mz = ox - p0[0], oy - p0[1], oz - p0[2]
-    md = _dot3(mx, my, mz, dx, dy, dz)
-    ms = _dot3(mx, my, mz, sx, sy, sz)
-    ds = _dot3(dx, dy, dz, sx, sy, sz)
-    mm = _dot3(mx, my, mz, mx, my, mz)
-
-    inv_l2 = 1.0 / jnp.maximum(len2, 1e-20)
-    a = 1.0 - ds * ds * inv_l2  # |d| = 1
-    b = md - ms * ds * inv_l2
-    c = mm - ms * ms * inv_l2 - r * r
-
-    start_in = (c <= 0.0) & (ms >= 0.0) & (ms <= len2)
-
-    disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    safe_a = jnp.where(jnp.abs(a) > 1e-12, a, jnp.float32(1.0))
-    t_cyl = (-b - sq) / safe_a
-    s_hit = ms + t_cyl * ds
-    ok = (
-        (jnp.abs(a) > 1e-12)
-        & (disc >= 0.0)
-        & (t_cyl >= 0.0)
-        & (s_hit >= 0.0)
-        & (s_hit <= len2)
-    )
-    return jnp.where(ok, t_cyl, jnp.float32(np.inf)), start_in
-
-
-def _ray_sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
-    """Returns (t (inf miss), start_in: origin within r of the center)."""
-    mx, my, mz = ox - cx, oy - cy, oz - cz
-    b = _dot3(mx, my, mz, dx, dy, dz)
-    c = _dot3(mx, my, mz, mx, my, mz) - r * r
-    disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t = -b - sq
-    ok = (disc >= 0.0) & (t >= 0.0)
-    return jnp.where(ok, t, jnp.float32(np.inf)), c <= 0.0
-
-
-def _make_sc_kernel(r: float):
-    rr = float(r)  # baked-in Python scalar (traced consts can't be captured)
-
-    def kernel(rays_ref, tri_ref, t_ref, idx_ref):
+    def kernel(rays_ref, tri_ref, out_ref):
         rays = rays_ref[:]
         ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
         dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
 
-        tc = tri_ref[:]
-        v0 = (tc[0:1, :], tc[1:2, :], tc[2:3, :])
-        e1 = (tc[3:4, :], tc[4:5, :], tc[5:6, :])
-        e2 = (tc[6:7, :], tc[7:8, :], tc[8:9, :])
-        nx, ny, nz = tc[9:10, :], tc[10:11, :], tc[11:12, :]
-        valid = tc[12:13, :] > 0.0
+        tc = tri_ref[:]  # [32, T] pack_sc2_consts layout
+        v0 = (tc[0:1], tc[1:2], tc[2:3])
+        e1 = (tc[3:4], tc[4:5], tc[5:6])
+        e2 = (tc[6:7], tc[7:8], tc[8:9])
+        nx, ny, nz = tc[9:10], tc[10:11], tc[11:12]
+        valid = tc[12:13] > 0.0
+        d00, d01, d11 = tc[13:14], tc[14:15], tc[15:16]
+        inv_den = tc[16:17]
+        v1 = (tc[17:18], tc[18:19], tc[19:20])
+        e12 = (tc[23:24], tc[24:25], tc[25:26])
+        l12 = tc[26:27]
+        nv0 = tc[27:28]
 
-        # face hit: ray vs plane offset by r toward the sphere; contact
-        # point inside the face (barycentrics of contact)
-        nd = _dot3(nx, ny, nz, dx, dy, dz)
-        h = _dot3(nx, ny, nz, ox - v0[0], oy - v0[1], oz - v0[2])
+        inf = jnp.float32(np.inf)
+
+        # face: ray vs plane offset by r toward the sphere + contact
+        # barycentrics inside
+        nd = nx * dx + ny * dy + nz * dz  # [BC, T]
+        h = (nx * ox + ny * oy + nz * oz) - nv0
         sign = jnp.where(h >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
         nd_ok = jnp.abs(nd) > 1e-9
         t_face = (sign * rr - h) / jnp.where(nd_ok, nd, jnp.float32(1.0))
-        # contact point
         cx = ox + t_face * dx - sign * rr * nx - v0[0]
         cy = oy + t_face * dy - sign * rr * ny - v0[1]
         cz = oz + t_face * dz - sign * rr * nz - v0[2]
-        d00 = _dot3(e1[0], e1[1], e1[2], e1[0], e1[1], e1[2])
-        d01 = _dot3(e1[0], e1[1], e1[2], e2[0], e2[1], e2[2])
-        d11 = _dot3(e2[0], e2[1], e2[2], e2[0], e2[1], e2[2])
-        d20 = _dot3(cx, cy, cz, e1[0], e1[1], e1[2])
-        d21 = _dot3(cx, cy, cz, e2[0], e2[1], e2[2])
-        den = d00 * d11 - d01 * d01
-        inv_den = jnp.where(jnp.abs(den) > 1e-20, 1.0 / den, jnp.float32(0.0))
+        d20 = cx * e1[0] + cy * e1[1] + cz * e1[2]
+        d21 = cx * e2[0] + cy * e2[1] + cz * e2[2]
         bv = (d11 * d20 - d01 * d21) * inv_den
         bw = (d00 * d21 - d01 * d20) * inv_den
         face_ok = (
             nd_ok & (t_face >= 0.0) & (bv >= 0.0) & (bw >= 0.0)
             & (bv + bw <= 1.0)
         )
-        t_face = jnp.where(face_ok, t_face, jnp.float32(np.inf))
+        t_face = jnp.where(face_ok, t_face, inf)
 
-        # start-overlap, face region: |h| <= r with the plane projection
-        # o - h n inside the face (the face slab of the tri's Voronoi
-        # decomposition; edge/vertex regions come from the capsule terms)
+        # start-overlap, face region (plane projection inside the face)
         px = ox - h * nx - v0[0]
         py = oy - h * ny - v0[1]
         pz = oz - h * nz - v0[2]
-        p20 = _dot3(px, py, pz, e1[0], e1[1], e1[2])
-        p21 = _dot3(px, py, pz, e2[0], e2[1], e2[2])
+        p20 = px * e1[0] + py * e1[1] + pz * e1[2]
+        p21 = px * e2[0] + py * e2[1] + pz * e2[2]
         pv = (d11 * p20 - d01 * p21) * inv_den
         pw = (d00 * p21 - d01 * p20) * inv_den
         overlap = (
@@ -533,64 +471,91 @@ def _make_sc_kernel(r: float):
             & (pv + pw <= 1.0)
         )
 
-        # edge capsules (3 cylinders + 3 vertex spheres); their start-inside
-        # flags complete the overlap decomposition exactly
-        e12 = (e2[0] - e1[0], e2[1] - e1[1], e2[2] - e1[2])
-        v1 = (v0[0] + e1[0], v0[1] + e1[1], v0[2] + e1[2])
-        l12 = _dot3(e12[0], e12[1], e12[2], e12[0], e12[1], e12[2])
-        t_edge, in0 = _ray_capsule_t(ox, oy, oz, dx, dy, dz, v0,
-                                     e1[0], e1[1], e1[2], d00, rr)
+        def capsule(p0x, p0y, p0z, sx, sy, sz, len2):
+            mx, my, mz = ox - p0x, oy - p0y, oz - p0z
+            md = mx * dx + my * dy + mz * dz
+            ms = mx * sx + my * sy + mz * sz
+            ds = dx * sx + dy * sy + dz * sz
+            mm = mx * mx + my * my + mz * mz
+            inv_l2 = 1.0 / jnp.maximum(len2, 1e-20)
+            aa = 1.0 - ds * ds * inv_l2
+            bb = md - ms * ds * inv_l2
+            cc = mm - ms * ms * inv_l2 - rr * rr
+            start_in = (cc <= 0.0) & (ms >= 0.0) & (ms <= len2)
+            disc = bb * bb - aa * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            safe_a = jnp.where(jnp.abs(aa) > 1e-12, aa, jnp.float32(1.0))
+            t_cyl = (-bb - sq) / safe_a
+            s_hit = ms + t_cyl * ds
+            ok = (
+                (jnp.abs(aa) > 1e-12) & (disc >= 0.0) & (t_cyl >= 0.0)
+                & (s_hit >= 0.0) & (s_hit <= len2)
+            )
+            return jnp.where(ok, t_cyl, inf), start_in
+
+        def sphere(cxx, cyy, czz):
+            mx, my, mz = ox - cxx, oy - cyy, oz - czz
+            bb = mx * dx + my * dy + mz * dz
+            cc = mx * mx + my * my + mz * mz - rr * rr
+            disc = bb * bb - cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            ts = -bb - sq
+            ok = (disc >= 0.0) & (ts >= 0.0)
+            return jnp.where(ok, ts, inf), cc <= 0.0
+
+        t_edge, in0 = capsule(v0[0], v0[1], v0[2], e1[0], e1[1], e1[2], d00)
         overlap = overlap | in0
-        t_e, in1 = _ray_capsule_t(ox, oy, oz, dx, dy, dz, v0,
-                                  e2[0], e2[1], e2[2], d11, rr)
+        t_e, in1 = capsule(v0[0], v0[1], v0[2], e2[0], e2[1], e2[2], d11)
         t_edge = jnp.minimum(t_edge, t_e)
         overlap = overlap | in1
-        t_e, in2 = _ray_capsule_t(ox, oy, oz, dx, dy, dz, v1,
-                                  e12[0], e12[1], e12[2], l12, rr)
+        t_e, in2 = capsule(v1[0], v1[1], v1[2], e12[0], e12[1], e12[2], l12)
         t_edge = jnp.minimum(t_edge, t_e)
         overlap = overlap | in2
-        v2 = (v0[0] + e2[0], v0[1] + e2[1], v0[2] + e2[2])
+        v2 = (tc[20:21], tc[21:22], tc[22:23])
         for c in (v0, v1, v2):
-            t_s, in_s = _ray_sphere_t(
-                ox, oy, oz, dx, dy, dz, c[0], c[1], c[2], rr
-            )
+            t_s, in_s = sphere(c[0], c[1], c[2])
             t_edge = jnp.minimum(t_edge, t_s)
             overlap = overlap | in_s
 
         t = jnp.minimum(t_face, t_edge)
         t = jnp.where(overlap, jnp.float32(0.0), t)
-        t = jnp.where(valid, t, jnp.float32(np.inf))
+        t = jnp.where(valid, t, inf)
 
-        T = t.shape[1]
+        t_min = jnp.min(t, axis=1, keepdims=True)  # [BC, 1]
+        if not with_normal:
+            out_ref[:, 0:1] = t_min
+            out_ref[:, 1:8] = jnp.zeros((t_min.shape[0], 7), jnp.float32)
+            return
+
+        # winner lane (first-lane tie-break = argmin); the contact normal
+        # is reconstructed OUTSIDE the kernel from a one-hot matmul over the
+        # constants table — [BC, 1]-column math in-kernel runs at 1/128
+        # lane utilization and costs more than the whole sweep
         lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        t_min = jnp.min(t, axis=1, keepdims=True)
         idx = jnp.min(
             jnp.where(t == t_min, lane, jnp.int32(2 ** 30)),
-            axis=1,
-            keepdims=True,
+            axis=1, keepdims=True,
         )
-        t_ref[:] = t_min
-        idx_ref[:] = idx
+        out_ref[:, 0:1] = t_min
+        out_ref[:, 1:2] = idx.astype(jnp.float32)
+        out_ref[:, 2:8] = jnp.zeros((t_min.shape[0], 6), jnp.float32)
 
     return kernel
 
-
-BLOCK_CASTS = 256
 
 # one custom_vmap flat entry per static radius (r is baked into the kernel)
 _SC_FLAT_CACHE = {}
 
 
-def _get_sc_flat(r: float):
-    ck = (r, _interp())
+def _get_sc_flat(r: float, T: int, with_normal: bool = True):
+    ck = (r, T, with_normal, _interp())
     if ck in _SC_FLAT_CACHE:
         return _SC_FLAT_CACHE[ck]
 
-    kernel = _make_sc_kernel(r)
+    kernel = _make_sc_kernel(r, T, with_normal)
 
     def call(rays, sc_packed):
         R = rays.shape[0]
-        T = sc_packed.shape[1]
         return pl.pallas_call(
             kernel,
             grid=(R // BLOCK_CASTS,),
@@ -600,38 +565,28 @@ def _get_sc_flat(r: float):
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (SC_ROWS, T), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (32, T), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
-            out_specs=[
-                pl.BlockSpec(
-                    (BLOCK_CASTS, 1), lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (BLOCK_CASTS, 1), lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((R, 1), jnp.float32),
-                jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            ],
+            out_specs=pl.BlockSpec(
+                (BLOCK_CASTS, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((R, 8), jnp.float32),
             interpret=_interp(),
         )(rays, sc_packed)
 
     @jax.custom_batching.custom_vmap
     def sc_flat(o, d, sc_packed):
-        """o, d: [R, 3] -> (t [R], tri idx [R]). vmap flattens the batch
-        axis into the cast axis (full kernel blocks)."""
+        """o, d: [R, 3] -> (t [R], winner idx [R] as f32; -1-ish garbage on
+        miss). vmap flattens the batch axis into the cast axis."""
         R = o.shape[0]
         R_pad = -(-max(R, 1) // BLOCK_CASTS) * BLOCK_CASTS
         rays = jnp.concatenate(
             [o, d, jnp.zeros((R, 2), jnp.float32)], axis=1
         )
         rays = jnp.pad(rays, ((0, R_pad - R), (0, 0)))
-        t_out, idx_out = call(rays, sc_packed)
-        return t_out[:R, 0], idx_out[:R, 0]
+        out = call(rays, sc_packed)
+        return out[:R, 0], out[:R, 1]
 
     @sc_flat.def_vmap
     def _sc_vmap(axis_size, in_batched, o, d, sc_packed):
@@ -646,36 +601,45 @@ def _get_sc_flat(r: float):
                 (-1,) + x.shape[1:]
             )
 
-        t, idx = sc_flat(bcast(o, ob), bcast(d, db), sc_packed)
-        return (t.reshape(B, -1), idx.reshape(B, -1)), (True, True)
+        t, ix = sc_flat(bcast(o, ob), bcast(d, db), sc_packed)
+        return (t.reshape(B, -1), ix.reshape(B, -1)), (True, True)
 
     _SC_FLAT_CACHE[ck] = sc_flat
     return sc_flat
 
 
-def sphere_cast_vs_tris_pallas(o, d, r: float, soup, t_max=INF):
+def sphere_cast_vs_tris_pallas(o, d, r: float, soup, t_max=INF,
+                               with_normal: bool = True):
     """Drop-in for ops.raycast.sphere_cast_vs_tris on TPU: fused Pallas
-    nearest-hit sweep returning (t [...], normal [..., 3]).
-
-    The kernel computes (t, winning tri); the contact normal is
-    reconstructed outside for the single winning triangle per cast
-    (face normal vs depenetration/edge normal, matching the dense path)."""
-    from . import raycast as rc
-
+    nearest-hit sweep; the winner's contact normal is reconstructed outside
+    via a one-hot matmul over the constants table (no gathers).
+    ``with_normal=False`` skips all of that (zeros returned) for the many
+    movement casts that only consume t. Returns (t [...], normal [..., 3])."""
     batch_shape = o.shape[:-1]
     R = int(np.prod(batch_shape)) if batch_shape else 1
+    T = soup.sc_packed.shape[1]
 
-    sc_flat = _get_sc_flat(float(r))
-    t, idx = sc_flat(o.reshape(R, 3), d.reshape(R, 3), soup.sc_packed)
-    idx = jnp.clip(idx, 0, soup.v0.shape[0] - 1)
-
-    # winner-only normal reconstruction (one tri per cast)
+    sc_flat = _get_sc_flat(float(r), T, with_normal)
     of = o.reshape(R, 3)
     df = d.reshape(R, 3)
-    v0 = soup.v0[idx]
-    e1 = soup.e1[idx]
-    e2 = soup.e2[idx]
-    n = soup.normal[idx]
+    t, idx_f = sc_flat(of, df, soup.sc_packed)
+    missed = ~jnp.isfinite(t) | (t > t_max)
+    t_final = jnp.where(missed, INF, t)
+
+    if not with_normal:
+        z = jnp.zeros(batch_shape + (3,), jnp.float32)
+        return t_final.reshape(batch_shape), z
+
+    # winner data: one-hot [R, T] @ consts.T [T, 32] on the MXU
+    idx = jnp.clip(idx_f.astype(jnp.int32), 0, T - 1)
+    onehot = (idx[:, None] == jnp.arange(T)).astype(jnp.float32)
+    wsel = onehot @ jnp.transpose(soup.sc_packed, (1, 0))  # [R, 32]
+    v0 = wsel[:, 0:3]
+    e1 = wsel[:, 3:6]
+    e2 = wsel[:, 6:9]
+    n = wsel[:, 9:12]
+
+    from . import raycast as rc
 
     finite_t = jnp.where(jnp.isfinite(t), t, 0.0)
     hit_center = of + finite_t[:, None] * df
@@ -686,19 +650,11 @@ def sphere_cast_vs_tris_pallas(o, d, r: float, soup, t_max=INF):
         dlen > 1e-12, depen / jnp.maximum(dlen, 1e-30),
         jnp.array([0.0, 0.0, 1.0]),
     )
-
     h = jnp.sum((of - v0) * n, axis=-1)
     sign = jnp.where(h >= 0.0, 1.0, -1.0)
     face_n = sign[:, None] * n
-    # face hit iff the contact normal aligns with the face plane offset:
-    # |center - closest| ~ r and closest strictly inside -> depen ~ +-n
     is_face = jnp.abs(jnp.sum(edge_n * n, axis=-1)) > 0.999
     normal = jnp.where(is_face[:, None], face_n, edge_n)
-    normal = jnp.where((t > 0.0)[:, None] & jnp.isfinite(t)[:, None],
-                       normal, normal)
-
-    missed = ~jnp.isfinite(t) | (t > t_max)
-    t_final = jnp.where(missed, INF, t)
     normal = jnp.where(missed[:, None], 0.0, normal)
     return (
         t_final.reshape(batch_shape),

@@ -149,11 +149,11 @@ def aim_systems(cfg: EnvConfig, state: WorldState, actions: Actions):
     )
 
 
-def _cast_group(m: MapData, o, d, r, cells):
+def _cast_group(m: MapData, o, d, r, cells, with_normal=True):
     """Grouped sphere casts [A, CPA, 3] against the map (culled kernel when
     the map has candidate tables)."""
     return sphere_cast_grouped(
-        o, d, r, m.tris, cells=cells, tables=m.cells
+        o, d, r, m.tris, cells=cells, tables=m.cells, with_normal=with_normal
     )
 
 
@@ -256,7 +256,7 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
 
     o2 = jnp.stack([o_slide, un_gc], axis=1)
     d2 = jnp.stack([slide_dir, down], axis=1)
-    t2, _ = _cast_group(m, o2, d2, r, cells)
+    t2, _ = _cast_group(m, o2, d2, r, cells, with_normal=False)
     t_slide = t2[:, 0]
     t_ground_un = t2[:, 1]
 
@@ -271,7 +271,9 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
 
     # ---- L3: ground snap under the slid position ----
     gc_pos = hit_pos + up * top[:, None]
-    t3, _ = _cast_group(m, gc_pos[:, None, :], down[:, None, :], r, cells)
+    t3, _ = _cast_group(
+        m, gc_pos[:, None, :], down[:, None, :], r, cells, with_normal=False
+    )
     t_ground = t3[:, 0]
 
     need_unstick = (t_ground <= 0.0) | stuck
@@ -304,7 +306,9 @@ def fall_system(cfg: EnvConfig, m: MapData, state: WorldState, cells=None):
 
     o = state.pos + up * (r + cast_offset)
     down = jnp.broadcast_to(-up, o.shape)
-    t4, _ = _cast_group(m, o[:, None, :], down[:, None, :], r, cells)
+    t4, _ = _cast_group(
+        m, o[:, None, :], down[:, None, :], r, cells, with_normal=False
+    )
     t_ground = t4[:, 0]
 
     no_fall = jnp.isinf(t_ground) | (t_ground < cast_offset)
