@@ -75,8 +75,8 @@ def bench_train(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--num-worlds", type=int, default=2048)
-    ap.add_argument("--num-steps", type=int, default=50)
+    ap.add_argument("--num-worlds", type=int, default=1024)
+    ap.add_argument("--num-steps", type=int, default=100)
     ap.add_argument("--team-size", type=int, default=6)
     ap.add_argument("--scene", type=str, default=None)
     ap.add_argument("--cpu", action="store_true")

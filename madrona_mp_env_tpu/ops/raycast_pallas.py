@@ -288,7 +288,10 @@ def _make_fan_kernel(F: int, T: int):
                 & (u + v <= 1.0) & valid & (t < inf)
             )
             tt = jnp.where(hit, t, inf)
-            out_ref[sl, :] = jnp.min(tt, axis=1, keepdims=True)
+            # one fan per OUTPUT ROW (in-kernel transpose): a [N*F, 1]
+            # output forces a slow 1-lane relayout downstream
+            tmin = jnp.min(tt, axis=1, keepdims=True)  # [F, 1]
+            out_ref[f:f + 1, :F] = jnp.transpose(tmin, (1, 0))
 
     return kernel
 
@@ -304,6 +307,8 @@ def _get_fan_flat(F: int):
         return _FAN_FLAT_CACHE[ck]
 
     FPB = FANS_PER_BLOCK
+
+    F_out = -(-F // 128) * 128
 
     def call(origs, dirs, tri_consts, dir_consts):
         N = origs.shape[0]
@@ -328,9 +333,9 @@ def _get_fan_flat(F: int):
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (FPB * F, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (FPB, F_out), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((N * F, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((N, F_out), jnp.float32),
             interpret=_interp(),
         )(origs, dirs, tri_consts, dir_consts)
         return out
@@ -355,7 +360,7 @@ def _get_fan_flat(F: int):
         )
         dirs8 = jnp.pad(dirs8, ((0, (N_pad - N) * F), (0, 0)))
         out = call(origs, dirs8, tri_consts, dir_consts)
-        return out[: N * F, 0].reshape(N, F)
+        return out[:N, :F]
 
     @fan_flat.def_vmap
     def _fan_vmap(axis_size, in_batched, origins, zoffs, dirs, tri_consts,

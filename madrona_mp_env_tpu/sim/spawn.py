@@ -275,8 +275,12 @@ def spawn_agents(
         side_used=jnp.stack([state.spawn_a_used, state.spawn_b_used]),
         respawn_used=state.spawn_respawn_used,
     )
+    # fully unrolled: A is small and static; unrolling turns the per-agent
+    # dynamic-slice carries into static-index updates XLA fuses across
+    # iterations (the rolled while-loop costs ~3x more)
     carry, (pts, yaws) = jax.lax.scan(
-        body, carry0, (jnp.arange(A, dtype=jnp.int32), u_cand, u_box)
+        body, carry0, (jnp.arange(A, dtype=jnp.int32), u_cand, u_box),
+        unroll=A,
     )
 
     # ---- vectorized bookkeeping (utils.cpp:844-946) ----
