@@ -73,6 +73,13 @@ def train_state_shardings(mesh: Mesh, ts):
         hyper_params=jax.tree_util.tree_map(lambda _: rep, ts.hyper_params),
         past_params=jax.tree_util.tree_map(lambda _: rep, ts.past_params),
         past_ptr=rep,
+        # dynamic matchmaking tables: assignment follows the world axis;
+        # the block permutations index the GLOBAL flat actor axis, so they
+        # replicate (block gathers cross shards via XLA collectives)
+        assignment=ws,
+        train_perm=rep,
+        past_perm=rep,
+        pending_reset=rep,
     )
 
 

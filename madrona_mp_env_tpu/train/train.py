@@ -66,6 +66,8 @@ def parse_args(argv=None):
     ap.add_argument("--pbt-explore-lr", action="store_true")
     ap.add_argument("--pbt-update-frequency", type=int, default=0,
                     help="population update every N updates (0 = off)")
+    ap.add_argument("--eval-elo-steps", type=int, default=1000,
+                    help="deterministic eval rollout length for ELO")
     ap.add_argument("--self-play-portion", type=float, default=0.0)
     ap.add_argument("--cross-play-portion", type=float, default=1.0)
     ap.add_argument("--past-play-portion", type=float, default=0.0)
@@ -191,18 +193,34 @@ def main(argv=None):
     last_update = int(ts.update_idx)
 
     while int(ts.update_idx) < args.num_updates:
-        for _ in range(args.metrics_buffer_size):
-            ts, metrics = mgr.update_iter(ts)
+        # one jitted scan of metrics_buffer_size updates; EVERY update's
+        # metrics row is captured and logged (reference buffered io_callback
+        # metrics, jax_train.py:343-361)
+        n = min(
+            args.metrics_buffer_size,
+            args.num_updates - int(ts.update_idx),
+        )
+        ts, metrics = mgr.update_loop(ts, n)
         jax.block_until_ready(metrics["loss"])
 
         if (
             args.pbt_update_frequency
             and int(ts.update_idx) % args.pbt_update_frequency == 0
         ):
-            # snapshot the best policy into history, then ELO-ranked
-            # truncation selection (update_population, jax_train.py:364-371)
+            # deterministic eval matches -> ELO (eval_elo,
+            # jax_train.py:363-371), then snapshot best into history,
+            # ELO-ranked truncation selection, and re-sampled matchmaking
+            # (past opponents rotate)
+            if mgr.E + mgr.P > 1:
+                ts, eval_elos = mgr.eval_elo(
+                    ts, num_steps=args.eval_elo_steps
+                )
+                from .elo import print_elos
+
+                print_elos(eval_elos)
             ts = mgr.store_past_policy(ts)
             ts = mgr.update_population(ts)
+            ts = mgr.resample_matchmaking(ts)
 
         update_id = int(ts.update_idx)
         now = time.time()
@@ -214,17 +232,20 @@ def main(argv=None):
         )
         last_time, last_update = now, update_id
 
-        print(f"Update: {update_id}  FPS: {fps:.0f}")
-        scalars = {}
-        for k, v in metrics.items():
-            v = np.asarray(v)
-            if v.ndim == 0:
-                scalars[k] = float(v)
-            else:
-                for i, vi in enumerate(v.reshape(-1)):
-                    scalars[f"p{i}/{k}"] = float(vi)
-        scalars["fps"] = fps
-        writer.scalars(scalars, update_id)
+        print(f"Update: {update_id}  FPS: {fps:.0f}", flush=True)
+        metrics_np = {k: np.asarray(v) for k, v in metrics.items()}
+        for row in range(n):
+            scalars = {}
+            for k, v in metrics_np.items():
+                vr = v[row]
+                if vr.ndim == 0:
+                    scalars[k] = float(vr)
+                else:
+                    for i, vi in enumerate(vr.reshape(-1)):
+                        scalars[f"p{i}/{k}"] = float(vi)
+            if row == n - 1:
+                scalars["fps"] = fps
+            writer.scalars(scalars, update_id - n + 1 + row)
         writer.flush()
 
         if update_id % args.ckpt_frequency == 0:

@@ -98,6 +98,13 @@ class TrainState:
     hyper_params: Dict[str, jax.Array]  # per-train-policy, e.g. {"lr": [E]}
     past_params: Any  # stacked [P, ...] frozen history (empty pytree if P=0)
     past_ptr: jax.Array  # next history slot to overwrite
+    # dynamic matchmaking (resample_matchmaking; reference re-samples
+    # world->policy assignments via the policy_assignments tensor,
+    # mgr.cpp:2042-2050): runtime routing tables with STATIC shapes
+    assignment: jax.Array  # [W, A] i32 policy slot per actor
+    train_perm: jax.Array  # [E, BEt] i32 flat-actor indices per train block
+    past_perm: jax.Array  # [P, BPp] i32
+    pending_reset: jax.Array  # bool: force-reset all worlds on next rollout
 
 
 def _static_assignment(cfg: EnvConfig, tcfg: TrainConfig):
@@ -177,36 +184,53 @@ class TrainingManager:
 
         assign, _ = make_matchmaking(self.W, self.A, cfg.team_size, self.pbt)
         train_perm, past_perm = _slot_permutations(assign, self.E, self.P)
-        self.assignment = jnp.asarray(assign)
-        self.train_perm = jnp.asarray(train_perm)  # [E, BEt]
-        self.past_perm = jnp.asarray(past_perm)  # [P, BPp]
+        self.assignment0 = jnp.asarray(assign)
+        self.train_perm0 = jnp.asarray(train_perm)  # [E, BEt]
+        self.past_perm0 = jnp.asarray(past_perm)  # [P, BPp]
         self.BE = train_perm.shape[1]
         self.BPp = past_perm.shape[1] if self.P > 0 else 0
+        # P past slots with zero assigned actors (past_play_portion == 0)
+        # means the history exists but never acts — skip the past apply
+        # path entirely (zero-size blocks would break the policy net)
+        self.has_past = self.P > 0 and self.BPp > 0
+        # the multiset of per-team policy slots (exact per-slot counts) —
+        # dynamic matchmaking permutes this list to re-pair teams while
+        # keeping every block shape static
+        self.team_slots_base = jnp.asarray(
+            assign[:, :: cfg.team_size].reshape(-1)
+        )  # [2W]
 
-        # NOTE: donation of the train state would halve peak memory; it is
-        # deliberately off until the update loop owns state lifetimes
-        # (callers still hold references during interactive use/tests).
-        self._update_fn = jax.jit(self._update_impl)
+        # the update owns the TrainState lifetime: donating it halves peak
+        # memory (no second TrainState residency across the update)
+        self._update_fn = jax.jit(self._update_impl, donate_argnums=0)
+        self._update_loop_fn = {}
         self._update_population_fn = jax.jit(self._update_population_impl)
         self._store_past_fn = jax.jit(self._store_past_impl)
+        self._resample_fn = jax.jit(self._resample_matchmaking_impl)
+        self._eval_elo_fn = {}
 
     # -------------------------------------------------- block reshaping
-    def to_blocks(self, x):
+    def to_blocks(self, x, train_perm=None):
         """[W, A, ...] -> train blocks [E, BEt, ...]."""
+        perm = self.train_perm0 if train_perm is None else train_perm
         flat = x.reshape((self.B,) + x.shape[2:])
-        return flat[self.train_perm]
+        return flat[perm]
 
-    def to_past_blocks(self, x):
+    def to_past_blocks(self, x, past_perm=None):
+        perm = self.past_perm0 if past_perm is None else past_perm
         flat = x.reshape((self.B,) + x.shape[2:])
-        return flat[self.past_perm]
+        return flat[perm]
 
-    def from_blocks(self, train_b, past_b=None):
+    def from_blocks(self, train_b, past_b=None, train_perm=None,
+                    past_perm=None):
         """Scatter train (+ past) blocks back to [W, A, ...]."""
+        tperm = self.train_perm0 if train_perm is None else train_perm
+        pperm = self.past_perm0 if past_perm is None else past_perm
         tail = train_b.shape[2:]
         flat = jnp.zeros((self.B,) + tail, train_b.dtype)
-        flat = flat.at[self.train_perm].set(train_b)
-        if past_b is not None and self.P > 0:
-            flat = flat.at[self.past_perm].set(past_b)
+        flat = flat.at[tperm].set(train_b)
+        if past_b is not None and self.has_past:
+            flat = flat.at[pperm].set(past_b)
         return flat.reshape((self.W, self.A) + tail)
 
     def _policy_obs(self, obs):
@@ -237,8 +261,12 @@ class TrainingManager:
 
         # policy_idx per world is the assignment table (>= 0, so no agent
         # routes to the scripted bot during training)
+        # + 0: policy_idx must not alias ts.assignment (update donation
+        # rejects duplicate buffers among the donated arguments)
         env_state = env_state.replace(
-            policy_idx=jnp.broadcast_to(self.assignment, (self.W, self.A))
+            policy_idx=jnp.broadcast_to(
+                self.assignment0, (self.W, self.A)
+            ) + 0
         )
 
         # per-policy hyperparams (explored by PBT)
@@ -268,6 +296,12 @@ class TrainingManager:
             hyper_params={"lr": lr0},
             past_params=past_params,
             past_ptr=jnp.zeros((), jnp.int32),
+            # + 0: own buffers — the update DONATES the whole TrainState,
+            # which would otherwise delete the manager's shared constants
+            assignment=self.assignment0 + 0,
+            train_perm=self.train_perm0 + 0,
+            past_perm=self.past_perm0 + 0,
+            pending_reset=jnp.zeros((), bool),
         )
 
     # -------------------------------------------------- policy apply
@@ -286,15 +320,18 @@ class TrainingManager:
     def _rollout(self, ts: TrainState):
         tcfg = self.tcfg
         sim_ctrl = jnp.array([0, 1, 1], jnp.int32)
-        no_reset = jnp.zeros((self.W,), jnp.int32)
         env_step = self.env.step_fn()
-        has_past = self.P > 0
+        has_past = self.has_past
+        tperm, pperm = ts.train_perm, ts.past_perm
 
-        def step_body(carry, step_key):
+        def step_body(carry, xs):
+            step_key, force_reset = xs
             env_state, obs, rnn, past_rnn, norm = carry
             k_train, k_past = jax.random.split(step_key)
 
-            obs_blocks = jax.tree_util.tree_map(self.to_blocks, obs)
+            obs_blocks = jax.tree_util.tree_map(
+                lambda x: self.to_blocks(x, tperm), obs
+            )
             norm_obs = normalize_obs(norm, obs_blocks, tcfg.compute_dtype)
             dists, values, rnn2 = self._apply_blocks(ts.params, rnn, norm_obs)
             actions, log_probs = dists.sample(k_train)
@@ -302,7 +339,9 @@ class TrainingManager:
             # past (frozen) policies act but never learn
             past_actions = None
             if has_past:
-                past_obs = jax.tree_util.tree_map(self.to_past_blocks, obs)
+                past_obs = jax.tree_util.tree_map(
+                    lambda x: self.to_past_blocks(x, pperm), obs
+                )
                 past_norm = normalize_obs(norm, past_obs, tcfg.compute_dtype)
                 pdists, _pv, past_rnn2 = self._apply_blocks(
                     ts.past_params, past_rnn, past_norm
@@ -315,9 +354,11 @@ class TrainingManager:
             da = self.from_blocks(
                 actions["discrete"],
                 past_actions["discrete"] if has_past else None,
+                tperm, pperm,
             )
             aa = self.from_blocks(
-                actions["aim"], past_actions["aim"] if has_past else None
+                actions["aim"], past_actions["aim"] if has_past else None,
+                tperm, pperm,
             )
             env_actions = Actions(
                 move_amount=da[..., 0],
@@ -330,14 +371,16 @@ class TrainingManager:
                 aim_pitch_rate=jnp.zeros((self.W, self.A), jnp.float32),
             )
 
-            env_state, out = env_step(env_state, env_actions, sim_ctrl, no_reset)
+            env_state, out = env_step(
+                env_state, env_actions, sim_ctrl, force_reset
+            )
 
-            reward_b = self.to_blocks(out["reward"])
-            done_b = self.to_blocks(out["done"])
+            reward_b = self.to_blocks(out["reward"], tperm)
+            done_b = self.to_blocks(out["done"], tperm)
             rnn2 = clear_rnn_states(rnn2, done_b != 0)
             if has_past:
                 past_rnn2 = clear_rnn_states(
-                    past_rnn2, self.to_past_blocks(out["done"]) != 0
+                    past_rnn2, self.to_past_blocks(out["done"], pperm) != 0
                 )
 
             next_obs = self._policy_obs(out["obs"])
@@ -355,15 +398,24 @@ class TrainingManager:
             }
             return (env_state, next_obs, rnn2, past_rnn2, norm), outputs
 
-        def chunk_body(carry, chunk_keys):
+        def chunk_body(carry, xs):
             rnn_start = carry[2]
-            carry, outs = jax.lax.scan(step_body, carry, chunk_keys)
+            carry, outs = jax.lax.scan(step_body, carry, xs)
             return carry, (rnn_start, outs)
 
         key, sub = jax.random.split(ts.key)
-        step_keys = jax.random.split(
-            sub, tcfg.num_bptt_chunks * tcfg.chunk_len
-        ).reshape((tcfg.num_bptt_chunks, tcfg.chunk_len) + sub.shape)
+        T = tcfg.num_bptt_chunks * tcfg.chunk_len
+        step_keys = jax.random.split(sub, T).reshape(
+            (tcfg.num_bptt_chunks, tcfg.chunk_len) + sub.shape
+        )
+        # dynamic-matchmaking rotation forces a full reset on the first step
+        force_resets = jnp.zeros((T, self.W), jnp.int32)
+        force_resets = force_resets.at[0].set(
+            jnp.where(ts.pending_reset, 1, 0)
+        )
+        force_resets = force_resets.reshape(
+            (tcfg.num_bptt_chunks, tcfg.chunk_len, self.W)
+        )
 
         carry0 = (
             ts.env_state,
@@ -372,11 +424,15 @@ class TrainingManager:
             ts.past_rnn_states,
             ts.normalizer,
         )
-        carry, (rnn_starts, outs) = jax.lax.scan(chunk_body, carry0, step_keys)
+        carry, (rnn_starts, outs) = jax.lax.scan(
+            chunk_body, carry0, (step_keys, force_resets)
+        )
         env_state, final_obs, final_rnn, final_past_rnn, normalizer = carry
 
         # bootstrap value from the final observation
-        final_blocks = jax.tree_util.tree_map(self.to_blocks, final_obs)
+        final_blocks = jax.tree_util.tree_map(
+            lambda x: self.to_blocks(x, tperm), final_obs
+        )
         final_norm_obs = normalize_obs(
             normalizer, final_blocks, tcfg.compute_dtype
         )
@@ -391,6 +447,7 @@ class TrainingManager:
             past_rnn_states=final_past_rnn,
             normalizer=normalizer,
             key=key,
+            pending_reset=jnp.zeros((), bool),
         )
         return ts, rnn_starts, outs, bootstrap_value
 
@@ -564,7 +621,7 @@ class TrainingManager:
         # (eval_elo equivalent tracked online from training matches)
         from .elo import elo_update_masked
 
-        team_policies = self.assignment[:, :: self.cfg.team_size]  # [W, 2]
+        team_policies = ts.assignment[:, :: self.cfg.team_size]  # [W, 2]
         n = finished.size
         pairs = jnp.broadcast_to(
             team_policies[None, None], finished.shape + (2,)
@@ -581,6 +638,176 @@ class TrainingManager:
 
     def update_iter(self, ts: TrainState):
         return self._update_fn(ts)
+
+    def update_loop(self, ts: TrainState, num_updates: int):
+        """Run ``num_updates`` fused updates in ONE jitted scan, returning
+        stacked per-update metrics (leaves [num_updates, ...]) — every
+        update's row is captured for logging (the reference's buffered
+        io_callback metrics, jax_train.py:343-361)."""
+        if num_updates not in self._update_loop_fn:
+
+            def loop(ts):
+                def body(ts, _):
+                    ts, metrics = self._update_impl(ts)
+                    return ts, metrics
+
+                return jax.lax.scan(body, ts, None, length=num_updates)
+
+            self._update_loop_fn[num_updates] = jax.jit(
+                loop, donate_argnums=0
+            )
+        return self._update_loop_fn[num_updates](ts)
+
+    # ------------------------------------------- dynamic matchmaking
+    def _resample_matchmaking_impl(self, ts: TrainState):
+        """Re-pair teams for the next episodes: permute the per-team policy
+        slot multiset (exact per-slot counts preserved, so every block shape
+        stays static), rebuild the routing tables, clear recurrent state and
+        force a full reset. The reference re-samples world->policy
+        assignments through the policy_assignments tensor
+        (mgr.cpp:2042-2050; portions in jax_train.py:146-216)."""
+        key, sub = jax.random.split(ts.key)
+        team_slots = self.team_slots_base[
+            jax.random.permutation(sub, 2 * self.W)
+        ]  # [2W]
+        ts_size = self.cfg.team_size
+        assignment = jnp.repeat(
+            team_slots.reshape(self.W, 2), ts_size, axis=1
+        )  # [W, A]
+        flat = assignment.reshape(-1)
+        order = jnp.argsort(flat, stable=True).astype(jnp.int32)
+        train_perm = order[: self.E * self.BE].reshape(self.E, self.BE)
+        past_perm = order[self.E * self.BE :].reshape(
+            max(self.P, 1), -1
+        )[: self.P, : self.BPp]
+        if self.P == 0:
+            past_perm = ts.past_perm
+
+        env_state = ts.env_state.replace(policy_idx=assignment + 0)
+        return ts.replace(
+            env_state=env_state,
+            assignment=assignment,
+            train_perm=train_perm,
+            past_perm=past_perm,
+            rnn_states=init_rnn_states((self.E, self.BE)),
+            past_rnn_states=init_rnn_states((self.P, self.BPp)),
+            pending_reset=jnp.ones((), bool),
+            key=key,
+        )
+
+    def resample_matchmaking(self, ts: TrainState) -> TrainState:
+        return self._resample_fn(ts)
+
+    # ------------------------------------------- deterministic eval ELO
+    def _eval_elo_impl(self, ts: TrainState, num_steps: int):
+        """ELO from DETERMINISTIC eval matches (argmax actions, eval-mode
+        sim control), not exploration rollouts — the reference's eval_elo
+        (jax_train.py:363-371). Fresh eval episodes on a scratch copy of
+        the env state; training state is untouched except ts.elo."""
+        sim_ctrl = jnp.array([1, 0, 0], jnp.int32)
+        env_step = self.env.step_fn()
+        has_past = self.has_past
+        tperm, pperm = ts.train_perm, ts.past_perm
+
+        def step_body(carry, force_reset):
+            env_state, obs, rnn, past_rnn = carry
+            obs_blocks = jax.tree_util.tree_map(
+                lambda x: self.to_blocks(x, tperm), obs
+            )
+            norm_obs = normalize_obs(
+                ts.normalizer, obs_blocks, self.tcfg.compute_dtype
+            )
+            dists, _v, rnn2 = self._apply_blocks(ts.params, rnn, norm_obs)
+            actions = dists.best()
+
+            past_actions = None
+            if has_past:
+                past_obs = jax.tree_util.tree_map(
+                    lambda x: self.to_past_blocks(x, pperm), obs
+                )
+                past_norm = normalize_obs(
+                    ts.normalizer, past_obs, self.tcfg.compute_dtype
+                )
+                pdists, _pv, past_rnn2 = self._apply_blocks(
+                    ts.past_params, past_rnn, past_norm
+                )
+                past_actions = pdists.best()
+            else:
+                past_rnn2 = past_rnn
+
+            da = self.from_blocks(
+                actions["discrete"],
+                past_actions["discrete"] if has_past else None,
+                tperm, pperm,
+            )
+            aa = self.from_blocks(
+                actions["aim"], past_actions["aim"] if has_past else None,
+                tperm, pperm,
+            )
+            env_actions = Actions(
+                move_amount=da[..., 0],
+                move_angle=da[..., 1],
+                fire=da[..., 2],
+                stand=da[..., 3],
+                aim_yaw=aa[..., 0],
+                aim_pitch=aa[..., 1],
+                aim_yaw_rate=jnp.zeros((self.W, self.A), jnp.float32),
+                aim_pitch_rate=jnp.zeros((self.W, self.A), jnp.float32),
+            )
+            env_state, out = env_step(
+                env_state, env_actions, sim_ctrl, force_reset
+            )
+            done_b = self.to_blocks(out["done"], tperm)
+            rnn2 = clear_rnn_states(rnn2, done_b != 0)
+            if has_past:
+                past_rnn2 = clear_rnn_states(
+                    past_rnn2, self.to_past_blocks(out["done"], pperm) != 0
+                )
+            return (
+                (env_state, self._policy_obs(out["obs"]), rnn2, past_rnn2),
+                (
+                    out["episode_result"]["win_result"],
+                    out["episode_result"]["match_finished"],
+                ),
+            )
+
+        # fresh eval episodes (forced reset on step 0)
+        force = jnp.zeros((num_steps, self.W), jnp.int32).at[0].set(1)
+        carry0 = (
+            ts.env_state,
+            ts.cur_obs,
+            init_rnn_states((self.E, self.BE)),
+            init_rnn_states((self.P, self.BPp)),
+        )
+        _, (win, finished) = jax.lax.scan(step_body, carry0, force)
+
+        from .elo import elo_update_masked
+
+        team_policies = ts.assignment[:, :: self.cfg.team_size]  # [W, 2]
+        n = finished.size
+        pairs = jnp.broadcast_to(
+            team_policies[None], finished.shape + (2,)
+        ).reshape(n, 2)
+        win_f = win.reshape(n)
+        score_a = jnp.where(
+            win_f == 0, 1.0, jnp.where(win_f == 1, 0.0, 0.5)
+        )
+        elo = elo_update_masked(
+            jnp.full_like(ts.elo, 1000.0),
+            pairs,
+            score_a,
+            finished.reshape(n) & (win_f >= 0),
+        )
+        # the eval episodes perturbed nothing persistent; episodes restart
+        # on the next training rollout
+        return ts.replace(elo=elo, pending_reset=jnp.ones((), bool)), elo
+
+    def eval_elo(self, ts: TrainState, num_steps: int = 1000):
+        if num_steps not in self._eval_elo_fn:
+            self._eval_elo_fn[num_steps] = jax.jit(
+                functools.partial(self._eval_elo_impl, num_steps=num_steps)
+            )
+        return self._eval_elo_fn[num_steps](ts)
 
     def aot_compile(self, ts: TrainState):
         """Ahead-of-time compile the fused update for a given state shape

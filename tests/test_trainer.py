@@ -64,7 +64,7 @@ def test_trainer_init(mgr_and_state):
         np.asarray(mgr.from_blocks(mgr.to_blocks(x))), np.asarray(x)
     )
     # assignment is balanced
-    counts = np.bincount(np.asarray(mgr.assignment).reshape(-1), minlength=2)
+    counts = np.bincount(np.asarray(mgr.assignment0).reshape(-1), minlength=2)
     assert counts[0] == counts[1]
 
 
