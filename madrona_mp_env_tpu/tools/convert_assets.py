@@ -124,15 +124,39 @@ def write_zones(path: str, scene: dict):
         rots.tofile(f)
 
 
-def convert(collision_obj: str, navmesh_obj: str, scene_json: str,
+def convert(collision_obj: str, navmesh_obj: str | None, scene_json: str,
             out_dir: str):
     os.makedirs(out_dir, exist_ok=True)
     cv, ct = load_obj(collision_obj)
     write_collisions(os.path.join(out_dir, "collisions.bin"), cv, ct)
-    nv, nt = load_obj(navmesh_obj)
-    write_navmesh(os.path.join(out_dir, "navmesh.bin"), nv, nt)
     with open(scene_json) as f:
         scene = json.load(f)
+    if navmesh_obj is not None:
+        nv, nt = load_obj(navmesh_obj)
+    else:
+        # build the navmesh from the collision geometry itself (the
+        # reference's Recast pipeline, src/nav/nav_build.cpp
+        # buildNavmeshFromSourceObjects); spawn boxes seed reachability
+        # pruning so sealed interiors don't mesh
+        from ..assets.nav_build import build_navmesh, result_to_tris
+
+        seeds = []
+        for key in ("a_spawns", "b_spawns", "respawns"):
+            for e in scene.get(key, []):
+                seeds.append(
+                    0.5 * (np.asarray(e["min"]) + np.asarray(e["max"]))
+                )
+        res = build_navmesh(
+            cv[ct.astype(np.int64)],
+            keep_seeds=np.asarray(seeds, np.float32) if seeds else None,
+        )
+        nv, nt = result_to_tris(res)
+        print(
+            f"built navmesh from collision geometry: "
+            f"{len(nv)} verts, {len(res.polys)} polys, "
+            f"{res.num_regions} regions"
+        )
+    write_navmesh(os.path.join(out_dir, "navmesh.bin"), nv, nt)
     write_spawns(os.path.join(out_dir, "spawns.bin"), scene)
     write_zones(os.path.join(out_dir, "zones.bin"), scene)
 
@@ -140,7 +164,9 @@ def convert(collision_obj: str, navmesh_obj: str, scene_json: str,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--collision-obj", required=True)
-    ap.add_argument("--navmesh-obj", required=True)
+    ap.add_argument("--navmesh-obj", default=None,
+                    help="pre-authored walkable mesh; omit to BUILD the "
+                         "navmesh from the collision geometry")
     ap.add_argument("--scene-json", required=True)
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
