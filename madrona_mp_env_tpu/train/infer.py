@@ -58,7 +58,14 @@ def eval_load_ckpt(
     from .normalizer import EMANormalizerState
 
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(ckpt_path))
+    path = os.path.abspath(ckpt_path)
+    # restore as host numpy: sharding-free, so checkpoints written on one
+    # platform (TPU trainer) load on any other (CPU eval box)
+    meta = ckptr.metadata(path).item_metadata
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree
+    )
+    restored = ckptr.restore(path, restore_args=restore_args)
     params = restored["params"]
     # targetless restore yields plain dicts; rebuild the normalizer pytree
     n = restored["normalizer"]
@@ -85,11 +92,16 @@ class EvalManager:
         ecfg: EvalConfig,
         env: Env,
         num_policies: int,
+        vs_bot: bool = False,
     ):
         self.cfg = cfg
         self.ecfg = ecfg
         self.env = env
         self.P = num_policies
+        # vs_bot: team 1 of every world is driven by the scripted A* bot
+        # (policy_idx = aStarPolicyID); win-rate vs the bot is the reference's
+        # de-facto e2e learning metric (sim.cpp planAStarAISystem opponents)
+        self.vs_bot = vs_bot
         self.model = ActorCriticNet(dtype=ecfg.policy_dtype)
 
         self.W = ecfg.num_worlds
@@ -97,10 +109,21 @@ class EvalManager:
         self.B = self.W * self.A
         self.BP = self.B // self.P
 
-        tcfg = TrainConfig(
-            num_worlds=ecfg.num_worlds, num_train_policies=num_policies
-        )
-        assign, perm, inv_perm = _static_assignment(cfg, tcfg)
+        if vs_bot:
+            # world w -> policy (w % P) for every agent, so each ensemble
+            # member fields full teams against the scripted bot
+            assert self.W % self.P == 0, "num_worlds must divide by P"
+            assign = np.repeat(
+                (np.arange(self.W) % self.P)[:, None], self.A, axis=1
+            ).astype(np.int32)
+            flat = assign.reshape(-1)
+            perm = np.argsort(flat, kind="stable").astype(np.int32)
+            inv_perm = np.argsort(perm, kind="stable").astype(np.int32)
+        else:
+            tcfg = TrainConfig(
+                num_worlds=ecfg.num_worlds, num_train_policies=num_policies
+            )
+            assign, perm, inv_perm = _static_assignment(cfg, tcfg)
         self.assignment = jnp.asarray(assign)
         self.perm = jnp.asarray(perm)
         self.inv_perm = jnp.asarray(inv_perm)
@@ -124,11 +147,17 @@ class EvalManager:
         return dists, values, jnp.moveaxis(new_rnn, 0, 2)
 
     def init_state(self):
+        from .. import consts
+
         sim_ctrl = jnp.array([1, 0, 0], jnp.int32)  # eval mode
         env_state, obs = self.env.reset(sim_ctrl=sim_ctrl)
-        env_state = env_state.replace(
-            policy_idx=jnp.broadcast_to(self.assignment, (self.W, self.A))
-        )
+        policy_idx = jnp.broadcast_to(self.assignment, (self.W, self.A))
+        if self.vs_bot:
+            teams = jnp.arange(self.A) // self.cfg.team_size
+            policy_idx = jnp.where(
+                teams[None, :] == 1, consts.a_star_policy_id, policy_idx
+            )
+        env_state = env_state.replace(policy_idx=policy_idx)
         rnn = init_rnn_states((self.P, self.BP))
         return env_state, obs, rnn
 
@@ -175,9 +204,11 @@ class EvalManager:
             finished = out["episode_result"]["match_finished"]
             win = out["episode_result"]["win_result"]
             score_a = jnp.where(win == 0, 1.0, jnp.where(win == 1, 0.0, 0.5))
-            elo = elo_update_masked(
-                elo, team_policies, score_a, finished & (win >= 0)
-            )
+            if not self.vs_bot:
+                # crossplay: team 1 is another ensemble policy -> update ELO
+                elo = elo_update_masked(
+                    elo, team_policies, score_a, finished & (win >= 0)
+                )
 
             done_b = self.to_blocks(out["done"])
             rnn2 = clear_rnn_states(rnn2, done_b != 0)
@@ -242,6 +273,9 @@ class EvalManager:
         from .. import consts
 
         total_swaps = np.zeros((consts.max_zones,), np.int64)
+        # vs-bot tallies: per-policy [wins, draws, losses]
+        wdl = np.zeros((self.P, 3), np.int64)
+        world_policy = np.asarray(self.assignment)[:, 0]  # [W]
 
         num_chunks = (ecfg.num_eval_steps + ecfg.chunk_steps - 1) // ecfg.chunk_steps
         for ci in range(num_chunks):
@@ -260,6 +294,13 @@ class EvalManager:
             total_swaps += swaps
             if verbose and swaps.sum() > 0:
                 print("zone swaps:", total_swaps)
+
+            if self.vs_bot:
+                win = outs["episode_result"]["win_result"]  # [T, W]
+                done = np.asarray(finished) & (np.asarray(win) >= 0)
+                for outcome, col in ((0, 0), (2, 1), (1, 2)):
+                    m = done & (np.asarray(win) == outcome)
+                    np.add.at(wdl[:, col], world_policy[m.nonzero()[1]], 1)
 
             T = finished.shape[0]
             for t in range(T):
@@ -286,6 +327,17 @@ class EvalManager:
             recorder.close()
         if event_writer is not None:
             event_writer.close()
+
+        if self.vs_bot:
+            self.vs_bot_wdl = wdl
+            if verbose:
+                for p in range(self.P):
+                    w, d, l = wdl[p]
+                    n = max(w + d + l, 1)
+                    print(
+                        f"policy {p} vs bot: {w}W/{d}D/{l}L "
+                        f"win-rate {w / n:.1%} over {w + d + l} matches"
+                    )
 
         return elo
 
@@ -345,6 +397,9 @@ def main(argv=None):
     ap.add_argument("--num-steps", type=int, default=200)
     ap.add_argument("--single-policy", type=int, default=None)
     ap.add_argument("--crossplay", action="store_true")
+    ap.add_argument("--vs-bot", action="store_true",
+                    help="team 1 = scripted A* bot; report per-policy "
+                         "win-rate (the de-facto e2e learning metric)")
     ap.add_argument("--game-mode", type=str, default="Zone")
     ap.add_argument("--scene", type=str, default=None)
     ap.add_argument("--ckpt-path", type=str, required=True)
@@ -400,7 +455,7 @@ def main(argv=None):
         num_eval_steps=args.num_steps,
         policy_dtype=dtype,
     )
-    mgr = EvalManager(cfg, ecfg, env, num_policies)
+    mgr = EvalManager(cfg, ecfg, env, num_policies, vs_bot=args.vs_bot)
 
     print_elos(np.asarray(elo))
     elo = mgr.run(

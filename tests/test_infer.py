@@ -94,6 +94,32 @@ def test_eval_rollout_with_dumps(tiny_ckpt, simple_map_dir):
     assert data["action_logits"].shape[-1] == 3 + 8 + 3 + 3 + 13 + 7
 
 
+def test_eval_vs_bot(tiny_ckpt, simple_map_dir):
+    """vs-bot mode: team 1 routed to the scripted A* bot, per-policy W/D/L
+    tallied from finished matches (reference's e2e learning metric)."""
+    params, normalizer, elo, num_policies = eval_load_ckpt(tiny_ckpt["ckpt"])
+    cfg = tiny_ckpt["cfg"]
+    env = mp.Env(cfg, simple_map_dir, num_worlds=4, seed=11)
+    # episode_len=32 -> finished matches within 40 eval steps
+    ecfg = EvalConfig(num_worlds=4, num_eval_steps=40, chunk_steps=10)
+    mgr = EvalManager(cfg, ecfg, env, num_policies, vs_bot=True)
+
+    state, _, _ = mgr.init_state()
+    pi = np.asarray(state.policy_idx)
+    ts = cfg.team_size
+    assert np.all(pi[:, ts:] == -1), "team 1 must be the scripted bot"
+    assert np.all(pi[:, :ts] == np.asarray(mgr.assignment)[:, :ts])
+    # each ensemble member fields team 0 somewhere
+    assert set(np.unique(pi[:, 0])) == set(range(num_policies))
+
+    elo2 = mgr.run(params, normalizer, elo, verbose=False)
+    # ELO untouched in vs-bot mode (bot has no rating slot)
+    assert np.allclose(np.asarray(elo2), np.asarray(elo))
+    wdl = mgr.vs_bot_wdl
+    assert wdl.shape == (num_policies, 3)
+    assert wdl.sum() >= num_policies, "expected finished matches per policy"
+
+
 def test_bc_finetune(tiny_ckpt):
     from madrona_mp_env_tpu.train.bc import run_bc
 
