@@ -57,6 +57,7 @@ class CellTables(NamedTuple):
 
     cand_idx: jax.Array  # [C, K] i32 original tri index (-1 pad)
     ray_packed: jax.Array  # [C, 16, K] f32
+    ray_dir_packed: jax.Array  # [C, DIR_K, 3K] bf16 (MXU direction dots)
     sc_packed: jax.Array  # [C, 32, K] f32
     # static grid meta (python floats/ints -> hashable in jit closures)
     grid_min_x: float
@@ -483,7 +484,7 @@ def build_cell_tables(
 
 def pack_tables(raw: dict, tri_verts: np.ndarray) -> CellTables:
     """Host dict -> device CellTables (per-cell packed kernel constants)."""
-    from .raycast_pallas import pack_tri_consts
+    from .raycast_pallas import pack_dir_consts, pack_tri_consts
     from .raycast_cull import pack_sc2_consts
 
     tv = np.asarray(tri_verts, np.float32)
@@ -499,9 +500,13 @@ def pack_tables(raw: dict, tri_verts: np.ndarray) -> CellTables:
         ray_p[c, :, : len(ids)] = pack_tri_consts(tv[ids], pad_to=len(ids))
         sc_p[c, :, : len(ids)] = pack_sc2_consts(tv[ids], pad_to=len(ids))
 
+    # per-cell bf16 direction-dot matrices (derived; no cache version bump)
+    ray_dir = np.stack([np.asarray(pack_dir_consts(ray_p[c])) for c in range(C)])
+
     return CellTables(
         cand_idx=jnp.asarray(cand_idx),
         ray_packed=jnp.asarray(ray_p),
+        ray_dir_packed=jnp.asarray(ray_dir),
         sc_packed=jnp.asarray(sc_p),
         grid_min_x=float(raw["grid_min"][0]),
         grid_min_y=float(raw["grid_min"][1]),

@@ -46,12 +46,15 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def culling_mode() -> str:
+    """MPENV_CULL: "0" off (default), "1" per-fan candidate-block kernels,
+    "sorted" cell-sorted fan layout (one candidate block per Pallas block —
+    the dense kernel's MXU structure over K candidates)."""
+    return os.environ.get("MPENV_CULL", "0")
+
+
 def use_culling() -> bool:
-    """Per-cell candidate kernels (MPENV_CULL=1). Off by default while the
-    culled kernels' block structure is being reworked — the per-query
-    candidate-block variants measure SLOWER than the dense-soup kernels on
-    simple_map (256 tris); the tables/tests stay, the dispatch is opt-in."""
-    return os.environ.get("MPENV_CULL", "0") == "1"
+    return culling_mode() in ("1", "sorted")
 
 
 def pallas_interpret() -> bool:
@@ -126,6 +129,10 @@ def ray_vs_tris(o, d, soup: TriSoup, t_max=INF, *, cells=None, tables=None):
     """
     if use_pallas():
         if tables is not None and cells is not None and use_culling():
+            if culling_mode() == "sorted":
+                from .raycast_cull import rays_cull_sorted
+
+                return rays_cull_sorted(o, d, cells, tables, t_max=t_max)
             from .raycast_cull import rays_cull
 
             return rays_cull(o, d, cells, tables, t_max=t_max)
@@ -145,6 +152,12 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
     given, else the dense-soup fan kernel; elsewhere the dense sweep."""
     if use_pallas():
         if tables is not None and cells is not None and use_culling():
+            if culling_mode() == "sorted":
+                from .raycast_cull import ray_fans_cull_sorted
+
+                return ray_fans_cull_sorted(
+                    origins, zoffs, dirs, cells, tables, t_max
+                )
             from .raycast_cull import ray_fans_cull
 
             return ray_fans_cull(origins, zoffs, dirs, cells, tables, t_max)

@@ -727,3 +727,170 @@ def fan_capsules(o, dirs, self_idx, cap_pos, alive, radius, seg_h):
     A, F = o.shape[-3], o.shape[-2]
     cap = _get_cap_flat(A, F, float(radius), float(seg_h))
     return cap(o, dirs, self_idx, cap_pos, alive)
+
+
+# ---------------------------------------------------------------------------
+# Cell-sorted fan kernel: fans are sorted by culling cell and padded so each
+# Pallas block covers ONE cell — the block loads a single [16, K] candidate
+# table + its bf16 direction-dot matrix (same MXU structure as the dense
+# kernel in raycast_pallas, just with K candidates instead of the whole
+# soup). This is the layout the per-fan candidate kernel above lacked: it
+# re-loaded FPB candidate blocks per grid step and lost the MXU dots.
+# Replaces the reference's per-thread BVH descent (mesh_bvh.inl traceRay)
+# with a two-phase regular schedule: XLA sort/scatter, then a dense sweep.
+# ---------------------------------------------------------------------------
+
+SORTED_FPB = 16
+
+
+def cell_sorted_layout(cells, C: int, fpb: int):
+    """cells [N] i32 -> (slot [N] i32, block_cell [B] i32, S).
+
+    Slot assignments sort fans by cell and pad each cell's run to a multiple
+    of fpb, so slots [b*fpb, (b+1)*fpb) all share cell block_cell[b]. S (and
+    B = S // fpb) are static: N_pad + C * (fpb - 1) rounded up."""
+    N = cells.shape[0]
+    S = -(-(N + C * (fpb - 1)) // fpb) * fpb
+    B = S // fpb
+
+    order = jnp.argsort(cells, stable=True)
+    sorted_cells = cells[order]
+    counts = jnp.bincount(cells, length=C)
+    padded = ((counts + fpb - 1) // fpb) * fpb
+    cell_off = jnp.cumsum(padded) - padded  # exclusive, padded layout
+    raw_off = jnp.cumsum(counts) - counts  # exclusive, sorted layout
+    rank = jnp.arange(N, dtype=jnp.int32) - raw_off[sorted_cells]
+    slot_sorted = (cell_off[sorted_cells] + rank).astype(jnp.int32)
+    slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)
+
+    # block b covers padded range [b*fpb, ...): owning cell via searchsorted
+    # over the padded range ends; tail blocks land on C-1 (computed and
+    # discarded — their dirs are zero => miss)
+    ends = jnp.cumsum(padded)
+    block_cell = jnp.searchsorted(
+        ends, jnp.arange(B, dtype=jnp.int32) * fpb, side="right"
+    ).astype(jnp.int32)
+    block_cell = jnp.minimum(block_cell, C - 1)
+    return slot, block_cell, S
+
+
+def _make_fan_sorted_kernel(F: int, K: int):
+    from .raycast_pallas import _make_fan_kernel
+
+    dense = _make_fan_kernel(F, K, fpb=SORTED_FPB)
+
+    def kernel(bc_ref, orig_ref, dirs_ref, tri_ref, dirmat_ref, out_ref):
+        # same math as the dense fan kernel; candidate blocks picked by the
+        # scalar-prefetched block_cell array via the index maps
+        dense(orig_ref, dirs_ref, tri_ref[0], dirmat_ref[0], out_ref)
+
+    return kernel
+
+
+_FAN_SORTED_CACHE = {}
+
+
+def _get_fan_sorted(F: int, K: int):
+    from .raycast_pallas import DIR_K
+
+    ck = (F, K, _interp())
+    if ck in _FAN_SORTED_CACHE:
+        return _FAN_SORTED_CACHE[ck]
+
+    FPB = SORTED_FPB
+    F_out = -(-F // 128) * 128
+    kernel = _make_fan_sorted_kernel(F, K)
+
+    def call(block_cell, origs, dirs8, ray_table, dir_table):
+        S = origs.shape[0]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(S // FPB,),
+            in_specs=[
+                pl.BlockSpec((FPB, 8), lambda i, bc: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((FPB * F, 8), lambda i, bc: (i, 0)),
+                pl.BlockSpec((1, 16, K), lambda i, bc: (bc[i], 0, 0)),
+                pl.BlockSpec((1, DIR_K, 3 * K), lambda i, bc: (bc[i], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((FPB, F_out), lambda i, bc: (i, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((S, F_out), jnp.float32),
+            interpret=_interp(),
+        )(block_cell, origs, dirs8, ray_table, dir_table)
+
+    @jax.custom_batching.custom_vmap
+    def fan_sorted_flat(origins, zoffs, dirs, cells, ray_table, dir_table):
+        N, C = origins.shape[0], ray_table.shape[0]
+        slot, block_cell, S = cell_sorted_layout(cells, C, FPB)
+
+        origins8 = jnp.concatenate(
+            [origins, jnp.zeros((N, 5), jnp.float32)], axis=1
+        )
+        origs = jnp.zeros((S, 8), jnp.float32).at[slot].set(origins8)
+        dirs8 = jnp.concatenate(
+            [
+                dirs.reshape(N, F, 3),
+                zoffs.reshape(N, F, 1),
+                jnp.zeros((N, F, 4), jnp.float32),
+            ],
+            axis=-1,
+        )
+        dirs_p = (
+            jnp.zeros((S, F, 8), jnp.float32).at[slot].set(dirs8)
+        ).reshape(S * F, 8)
+        out = call(block_cell, origs, dirs_p, ray_table, dir_table)
+        return out[slot, :F]
+
+    @fan_sorted_flat.def_vmap
+    def _vmap(axis_size, in_batched, origins, zoffs, dirs, cells,
+              ray_table, dir_table):
+        ob, zb, db, cb, tb, dtb = in_batched
+        assert not tb and not dtb, "tables must not be batched"
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        out = fan_sorted_flat(
+            bcast(origins, ob), bcast(zoffs, zb), bcast(dirs, db),
+            bcast(cells, cb), ray_table, dir_table,
+        )
+        return out.reshape((B, -1) + out.shape[1:]), True
+
+    _FAN_SORTED_CACHE[ck] = fan_sorted_flat
+    return fan_sorted_flat
+
+
+def ray_fans_cull_sorted(origins, zoffs, dirs, cells, tables, t_max=INF):
+    """Cell-sorted culled nearest-hit ray fans; same contract as
+    ray_fans_cull / raycast_pallas.ray_fans_vs_tris_pallas."""
+    batch_shape = origins.shape[:-1]
+    F = dirs.shape[-2]
+    N = int(np.prod(batch_shape)) if batch_shape else 1
+    fan = _get_fan_sorted(F, tables.K)
+    t = fan(
+        origins.reshape(N, 3),
+        zoffs.reshape(N, F),
+        dirs.reshape(N, F, 3),
+        cells.reshape(N),
+        tables.ray_packed,
+        tables.ray_dir_packed,
+    ).reshape(batch_shape + (F,))
+    return jnp.where(t <= t_max, t, INF)
+
+
+def rays_cull_sorted(o, d, cells, tables, t_max=INF):
+    """Cell-sorted culled single-ray nearest hit (F=1 fan)."""
+    t = ray_fans_cull_sorted(
+        o, jnp.zeros(o.shape[:-1] + (1,), o.dtype), d[..., None, :],
+        cells, tables, t_max=t_max,
+    )
+    return t[..., 0]

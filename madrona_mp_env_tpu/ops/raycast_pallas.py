@@ -238,7 +238,7 @@ def pack_dir_consts(tri_consts: np.ndarray) -> np.ndarray:
     return out.astype(jnp.bfloat16)
 
 
-def _make_fan_kernel(F: int, T: int):
+def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK):
     def kernel(orig_ref, dirs_ref, tri_ref, dirmat_ref, out_ref):
         # orig_ref: [FPB, 8] SMEM f32 (fan base origin xyz);
         # dirs_ref: [FPB*F, 8] VMEM f32 (dx dy dz z_offset — per-ray origin
@@ -262,7 +262,7 @@ def _make_fan_kernel(F: int, T: int):
         zoff = dirs[:, 3:4]  # [FPB*F, 1] f32 per-ray origin z offset
 
         inf = jnp.float32(np.inf)
-        for f in range(FANS_PER_BLOCK):
+        for f in range(fpb):
             ox = orig_ref[f, 0]
             oy = orig_ref[f, 1]
             oz = orig_ref[f, 2]

@@ -188,6 +188,68 @@ class TestCulledKernels:
         rel = np.abs(t_k[both] - t_d[both]) / np.maximum(t_d[both], 1.0)
         assert rel.max() <= 1e-4
 
+    def test_cell_sorted_layout_invariants(self, synth):
+        from madrona_mp_env_tpu.ops.raycast_cull import (
+            SORTED_FPB,
+            cell_sorted_layout,
+        )
+
+        _, tables, _, _ = synth
+        rng = np.random.default_rng(11)
+        C = tables.num_cells
+        cells = jnp.asarray(rng.integers(0, C, 333).astype(np.int32))
+        slot, block_cell, S = cell_sorted_layout(cells, C, SORTED_FPB)
+        slot, block_cell = np.asarray(slot), np.asarray(block_cell)
+        assert S % SORTED_FPB == 0 and len(block_cell) == S // SORTED_FPB
+        # slots are unique (a scatter never collides)
+        assert len(np.unique(slot)) == len(slot)
+        # every fan's block is its own cell
+        assert (block_cell[slot // SORTED_FPB] == np.asarray(cells)).all()
+
+    def test_fan_cull_sorted_vs_dense_full(self, synth):
+        """Cell-sorted culled fan kernel (bf16 MXU dots) vs the FULL dense
+        sweep; tolerance matches the dense Pallas fan kernel bounds."""
+        tv, tables, soup, _ = synth
+        N, F = 48, 24
+        rng = np.random.default_rng(7)
+        base = np.stack(
+            [rng.uniform(-520, 520, N), rng.uniform(-520, 520, N),
+             np.full(N, 0.0)], axis=1
+        ).astype(np.float32)
+        zoffs = rng.uniform(10, 70, (N, F)).astype(np.float32)
+        d = rng.normal(size=(N, F, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        base, zoffs, d = jnp.asarray(base), jnp.asarray(zoffs), jnp.asarray(d)
+
+        cells = culling.cell_index(tables, base)
+        from madrona_mp_env_tpu.ops.raycast_cull import ray_fans_cull_sorted
+
+        t_k = np.asarray(ray_fans_cull_sorted(base, zoffs, d, cells, tables))
+        o = base[:, None, :] + jnp.stack(
+            [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
+        )
+        t_d = np.asarray(rc._ray_vs_tris_dense(o, d, soup))
+        both = np.isfinite(t_k) & np.isfinite(t_d)
+        assert (np.isfinite(t_k) == np.isfinite(t_d)).mean() >= 0.99
+        rel = np.abs(t_k[both] - t_d[both]) / np.maximum(t_d[both], 1.0)
+        # bf16 direction dots: edge-grazing rays may flip hit->next-hit
+        # (same documented mode as the dense Pallas fan kernel); bound the
+        # fraction, and the non-grazing error tightly
+        assert (rel > 2e-2).mean() <= 0.01, rel.max()
+        assert np.quantile(rel, 0.99) <= 2e-2
+        # vmapped (the sim's per-world call shape) matches flat
+        t_v = np.asarray(
+            jax.vmap(
+                lambda b, z, dd, c: ray_fans_cull_sorted(
+                    b, z, dd, c, tables
+                )
+            )(
+                base.reshape(4, 12, 3), zoffs.reshape(4, 12, F),
+                d.reshape(4, 12, F, 3), cells.reshape(4, 12),
+            )
+        ).reshape(N, F)
+        np.testing.assert_allclose(t_v, t_k, rtol=1e-6)
+
     def test_sphere_cast_cull_vs_dense_full(self, synth):
         tv, tables, soup, _ = synth
         N, CPA = 64, 7
@@ -323,7 +385,16 @@ class TestFullStepParity:
             )
             lid_k = np.asarray(out_k["obs"]["fwd_lidar"][..., 0])
             lid_d = np.asarray(out_d["obs"]["fwd_lidar"][..., 0])
-            assert np.abs(lid_k - lid_d).max() <= 0.5, (
-                f"lidar depth diverged at step {i}"
+            # bf16 direction dots: ~0.4% relative depth error everywhere,
+            # plus rare edge-grazing flips to the hit behind (documented
+            # kernel trade-off) — bound the flip fraction and the relative
+            # error of the rest
+            rel = np.abs(lid_k - lid_d) / np.maximum(np.abs(lid_d), 1.0)
+            assert (rel > 2e-2).mean() <= 1e-2, (
+                f"lidar flips at step {i}: {(rel > 2e-2).mean():.4f}"
+            )
+            assert np.quantile(rel, 0.995) <= 2e-2, (
+                f"lidar depth rel err at step {i}: "
+                f"p99.5 {np.quantile(rel, 0.995):.3e}"
             )
             state = s_d  # dense trajectory is the canon
