@@ -136,10 +136,20 @@ def load_map(
     tri_verts = morton_sort_tris(col.tri_verts)
     soup = make_tri_soup(tri_verts, pad_to=tri_pad)
 
-    from ..ops.culling import load_or_build_cell_tables
+    from ..ops.culling import load_or_build_cell_tables, spawn_box_points
 
+    # battery origins: navmesh verts + centroids + spawn-box grids (spawn
+    # boxes sit at map edges the navmesh-driven sampler under-covers; every
+    # episode's first sensor fans originate inside them)
     walkable = np.concatenate(
-        [nav.verts, nav.verts[nav.tri_indices].mean(axis=1)], axis=0
+        [
+            nav.verts,
+            nav.verts[nav.tri_indices].mean(axis=1),
+            spawn_box_points(
+                (spawns.a_spawns, spawns.b_spawns, spawns.common_respawns)
+            ),
+        ],
+        axis=0,
     ).astype(np.float32)
     cell_tables = load_or_build_cell_tables(
         tri_verts,

@@ -39,7 +39,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TABLE_VERSION = 3
+TABLE_VERSION = 4  # v4: battery origins include spawn-box sample points
+# (v3 tables under-covered map-edge spawn cells: long sensor rays from
+# freshly spawned agents missed triangles absent from the sampled PVS —
+# caught by tests/test_culling.py::test_step_sorted_culled_vs_dense)
 
 # runtime queries may originate this far outside the cell of record
 # (intra-step movement drift: run speed 400 * dt 0.05 = 20, plus slide,
@@ -98,6 +101,30 @@ def cell_index(tables: CellTables, pos: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Builder (host + device; cached)
 # ---------------------------------------------------------------------------
+
+
+def spawn_box_points(spawn_tables, step: float = 60.0) -> np.ndarray:
+    """Grid-sample spawn AABBs ([N, 8] rows: aabb_min(3), aabb_max(3),
+    yaw range) into battery origin points [M, 3]. Spawn boxes sit at the
+    map edges where the navmesh-driven battery under-samples; every
+    runtime episode starts sensor fans from inside them, so the PVS
+    battery must cover them explicitly."""
+    pts = []
+    for table in spawn_tables:
+        for row in np.asarray(table, np.float32).reshape(-1, 8):
+            lo, hi = row[0:3], row[3:6]
+            nx = max(int(np.ceil((hi[0] - lo[0]) / step)) + 1, 2)
+            ny = max(int(np.ceil((hi[1] - lo[1]) / step)) + 1, 2)
+            xs = np.linspace(lo[0], hi[0], nx)
+            ys = np.linspace(lo[1], hi[1], ny)
+            gx, gy = np.meshgrid(xs, ys)
+            z = np.full(gx.size, lo[2], np.float32)
+            pts.append(
+                np.stack([gx.ravel(), gy.ravel(), z], axis=1)
+            )
+    if not pts:
+        return np.zeros((0, 3), np.float32)
+    return np.concatenate(pts, axis=0).astype(np.float32)
 
 
 def _subdivide_tris(tri_verts: np.ndarray, max_extent: float):

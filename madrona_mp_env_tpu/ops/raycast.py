@@ -143,27 +143,42 @@ def ray_vs_tris(o, d, soup: TriSoup, t_max=INF, *, cells=None, tables=None):
 
 
 def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
-                     cells=None, tables=None):
+                     cells=None, tables=None, zgroups=None):
     """Nearest-hit for per-agent sensor ray fans sharing a base origin
     (per-ray origin = base + (0, 0, z_offset)). origins [..., 3];
     zoffs [..., F]; dirs [..., F, 3]. Returns t [..., F] (inf on miss).
 
+    ``zgroups``: optional static tuple of ray-run lengths summing to F;
+    rays within a run must share their z offset (the sim's sensor fan has
+    5 such runs: LOS + 2 lidar rows x fwd/rear). The TPU kernels then
+    hoist all z-dependent terms out of the per-(ray, tri) epilogue and
+    stream bf16 directions.
+
     TPU: fused fan kernel over per-cell candidate sets when tables are
     given, else the dense-soup fan kernel; elsewhere the dense sweep."""
     if use_pallas():
+        zg = None
+        if zgroups is not None:
+            # one z per run (contract: uniform within each run)
+            starts = np.cumsum((0,) + tuple(zgroups))[:-1]
+            zg = jnp.stack([zoffs[..., int(s)] for s in starts], axis=-1)
         if tables is not None and cells is not None and use_culling():
             if culling_mode() == "sorted":
                 from .raycast_cull import ray_fans_cull_sorted
 
                 return ray_fans_cull_sorted(
-                    origins, zoffs, dirs, cells, tables, t_max
+                    origins, zg if zg is not None else zoffs, dirs, cells,
+                    tables, t_max, zgroups=zgroups,
                 )
             from .raycast_cull import ray_fans_cull
 
             return ray_fans_cull(origins, zoffs, dirs, cells, tables, t_max)
         from .raycast_pallas import ray_fans_vs_tris_pallas
 
-        return ray_fans_vs_tris_pallas(origins, zoffs, dirs, soup, t_max)
+        return ray_fans_vs_tris_pallas(
+            origins, zg if zg is not None else zoffs, dirs, soup, t_max,
+            zgroups=zgroups,
+        )
     o = origins[..., None, :] + jnp.stack(
         [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
     )
@@ -179,6 +194,13 @@ def sphere_cast_grouped(o, d, r, soup: TriSoup, t_max=INF, *, cells=None,
     reconstruction (normals zeros) for casts that only consume t."""
     if (use_pallas() and tables is not None and cells is not None
             and use_culling()):
+        if culling_mode() == "sorted":
+            from .raycast_cull import sphere_cast_cull_sorted
+
+            return sphere_cast_cull_sorted(
+                o, d, float(r), cells, tables, soup, t_max,
+                with_normal=with_normal,
+            )
         from .raycast_cull import sphere_cast_cull
 
         return sphere_cast_cull(o, d, float(r), cells, tables, soup, t_max)

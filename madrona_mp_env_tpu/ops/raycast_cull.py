@@ -664,17 +664,22 @@ def _get_cap_flat(A: int, F: int, radius: float, seg_h: float):
 
     def _run(o, dirs, self_idx, cap_pos, alive):
         W = o.shape[0]
-        rays = jnp.concatenate(
+        # build [W, 8, AF] directly (component slices stack into rows) —
+        # a [W, AF, 8] concat + transpose costs a full HBM relayout pass
+        rays = jnp.stack(
             [
-                o.reshape(W, AF, 3),
-                dirs.reshape(W, AF, 3),
-                self_idx.reshape(W, AF, 1).astype(jnp.float32),
-                jnp.zeros((W, AF, 1), jnp.float32),
+                o[..., 0].reshape(W, AF),
+                o[..., 1].reshape(W, AF),
+                o[..., 2].reshape(W, AF),
+                dirs[..., 0].reshape(W, AF),
+                dirs[..., 1].reshape(W, AF),
+                dirs[..., 2].reshape(W, AF),
+                self_idx.reshape(W, AF).astype(jnp.float32),
+                jnp.zeros((W, AF), jnp.float32),
             ],
-            axis=-1,
-        )  # [W, AF, 8]
-        rays = jnp.pad(rays, ((0, 0), (0, AF_pad - AF), (0, 0)))
-        rays = rays.transpose(0, 2, 1)  # [W, 8, AF_pad]
+            axis=1,
+        )  # [W, 8, AF]
+        rays = jnp.pad(rays, ((0, 0), (0, 0), (0, AF_pad - AF)))
 
         caps = jnp.concatenate(
             [cap_pos, alive.astype(jnp.float32)[..., None]], axis=-1
@@ -743,25 +748,54 @@ def fan_capsules(o, dirs, self_idx, cap_pos, alive, radius, seg_h):
 SORTED_FPB = 16
 
 
+RANK_CHUNK = 256  # integers <= 256 are exact in bf16 (8 mantissa bits)
+
+
 def cell_sorted_layout(cells, C: int, fpb: int):
     """cells [N] i32 -> (slot [N] i32, block_cell [B] i32, S).
 
     Slot assignments sort fans by cell and pad each cell's run to a multiple
     of fpb, so slots [b*fpb, (b+1)*fpb) all share cell block_cell[b]. S (and
-    B = S // fpb) are static: N_pad + C * (fpb - 1) rounded up."""
+    B = S // fpb) are static: N_pad + C * (fpb - 1) rounded up.
+
+    The stable rank (count of earlier fans in the same cell) is computed
+    WITHOUT a sort: a chunked strict-lower-triangular bf16 matmul over the
+    cell one-hot gives within-chunk ranks on the MXU, and an exclusive
+    cumsum over the (few) chunk histograms stitches chunks together —
+    ~6x cheaper than XLA's TPU argsort at N ~ 12k."""
     N = cells.shape[0]
     S = -(-(N + C * (fpb - 1)) // fpb) * fpb
     B = S // fpb
 
-    order = jnp.argsort(cells, stable=True)
-    sorted_cells = cells[order]
-    counts = jnp.bincount(cells, length=C)
+    CH = RANK_CHUNK
+    N_pad = -(-max(N, 1) // CH) * CH
+    NC = N_pad // CH
+    # pad fans map to a sentinel column C so they never pollute real counts
+    cells_p = jnp.concatenate(
+        [cells, jnp.full((N_pad - N,), C, jnp.int32)]
+    )
+    onehot = (
+        cells_p[:, None] == jnp.arange(C + 1, dtype=jnp.int32)
+    )  # [N_pad, C+1] bool
+    oh_b = onehot.reshape(NC, CH, C + 1).astype(jnp.bfloat16)
+    tri = jnp.tril(
+        jnp.ones((CH, CH), jnp.bfloat16), k=-1
+    )  # strict lower: earlier-in-chunk
+    local = jnp.einsum(
+        "ij,bjc->bic", tri, oh_b, preferred_element_type=jnp.float32
+    )  # [NC, CH, C+1] exact integer ranks (<= CH)
+    chunk_counts = jnp.sum(oh_b.astype(jnp.float32), axis=1)  # [NC, C+1]
+    chunk_excl = jnp.cumsum(chunk_counts, axis=0) - chunk_counts
+    rank_mat = local + chunk_excl[:, None, :]
+    rank = jnp.sum(
+        jnp.where(onehot.reshape(NC, CH, C + 1), rank_mat, 0.0),
+        axis=-1,
+    ).reshape(N_pad)[:N].astype(jnp.int32)
+
+    counts = (chunk_counts.sum(axis=0)[:C]).astype(jnp.int32)
     padded = ((counts + fpb - 1) // fpb) * fpb
     cell_off = jnp.cumsum(padded) - padded  # exclusive, padded layout
-    raw_off = jnp.cumsum(counts) - counts  # exclusive, sorted layout
-    rank = jnp.arange(N, dtype=jnp.int32) - raw_off[sorted_cells]
-    slot_sorted = (cell_off[sorted_cells] + rank).astype(jnp.int32)
-    slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)
+    slot = (cell_off[cells] + rank).astype(jnp.int32)
 
     # block b covers padded range [b*fpb, ...): owning cell via searchsorted
     # over the padded range ends; tail blocks land on C-1 (computed and
@@ -774,10 +808,10 @@ def cell_sorted_layout(cells, C: int, fpb: int):
     return slot, block_cell, S
 
 
-def _make_fan_sorted_kernel(F: int, K: int):
+def _make_fan_sorted_kernel(F: int, K: int, zgroups=None):
     from .raycast_pallas import _make_fan_kernel
 
-    dense = _make_fan_kernel(F, K, fpb=SORTED_FPB)
+    dense = _make_fan_kernel(F, K, fpb=SORTED_FPB, zgroups=zgroups)
 
     def kernel(bc_ref, orig_ref, dirs_ref, tri_ref, dirmat_ref, out_ref):
         # same math as the dense fan kernel; candidate blocks picked by the
@@ -790,16 +824,16 @@ def _make_fan_sorted_kernel(F: int, K: int):
 _FAN_SORTED_CACHE = {}
 
 
-def _get_fan_sorted(F: int, K: int):
+def _get_fan_sorted(F: int, K: int, zgroups=None):
     from .raycast_pallas import DIR_K
 
-    ck = (F, K, _interp())
+    ck = (F, K, zgroups, _interp())
     if ck in _FAN_SORTED_CACHE:
         return _FAN_SORTED_CACHE[ck]
 
     FPB = SORTED_FPB
     F_out = -(-F // 128) * 128
-    kernel = _make_fan_sorted_kernel(F, K)
+    kernel = _make_fan_sorted_kernel(F, K, zgroups)
 
     def call(block_cell, origs, dirs8, ray_table, dir_table):
         S = origs.shape[0]
@@ -809,7 +843,7 @@ def _get_fan_sorted(F: int, K: int):
             in_specs=[
                 pl.BlockSpec((FPB, 8), lambda i, bc: (i, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((FPB * F, 8), lambda i, bc: (i, 0)),
+                pl.BlockSpec((FPB * F, 4), lambda i, bc: (i, 0)),
                 pl.BlockSpec((1, 16, K), lambda i, bc: (bc[i], 0, 0)),
                 pl.BlockSpec((1, DIR_K, 3 * K), lambda i, bc: (bc[i], 0, 0)),
             ],
@@ -824,24 +858,19 @@ def _get_fan_sorted(F: int, K: int):
 
     @jax.custom_batching.custom_vmap
     def fan_sorted_flat(origins, zoffs, dirs, cells, ray_table, dir_table):
+        from .raycast_pallas import pack_fan_operands
+
         N, C = origins.shape[0], ray_table.shape[0]
         slot, block_cell, S = cell_sorted_layout(cells, C, FPB)
 
-        origins8 = jnp.concatenate(
-            [origins, jnp.zeros((N, 5), jnp.float32)], axis=1
+        origins8, dirs4 = pack_fan_operands(
+            origins, zoffs, dirs, N, F, zgroups
         )
         origs = jnp.zeros((S, 8), jnp.float32).at[slot].set(origins8)
-        dirs8 = jnp.concatenate(
-            [
-                dirs.reshape(N, F, 3),
-                zoffs.reshape(N, F, 1),
-                jnp.zeros((N, F, 4), jnp.float32),
-            ],
-            axis=-1,
-        )
         dirs_p = (
-            jnp.zeros((S, F, 8), jnp.float32).at[slot].set(dirs8)
-        ).reshape(S * F, 8)
+            jnp.zeros((S, F, 4), dirs4.dtype)
+            .at[slot].set(dirs4.reshape(N, F, 4))
+        ).reshape(S * F, 4)
         out = call(block_cell, origs, dirs_p, ray_table, dir_table)
         return out[slot, :F]
 
@@ -869,16 +898,18 @@ def _get_fan_sorted(F: int, K: int):
     return fan_sorted_flat
 
 
-def ray_fans_cull_sorted(origins, zoffs, dirs, cells, tables, t_max=INF):
+def ray_fans_cull_sorted(origins, zoffs, dirs, cells, tables, t_max=INF,
+                         zgroups=None):
     """Cell-sorted culled nearest-hit ray fans; same contract as
-    ray_fans_cull / raycast_pallas.ray_fans_vs_tris_pallas."""
+    ray_fans_cull / raycast_pallas.ray_fans_vs_tris_pallas (zoffs is
+    [..., G] per-group z when ``zgroups`` is given)."""
     batch_shape = origins.shape[:-1]
     F = dirs.shape[-2]
     N = int(np.prod(batch_shape)) if batch_shape else 1
-    fan = _get_fan_sorted(F, tables.K)
+    fan = _get_fan_sorted(F, tables.K, zgroups)
     t = fan(
         origins.reshape(N, 3),
-        zoffs.reshape(N, F),
+        zoffs.reshape(N, -1),
         dirs.reshape(N, F, 3),
         cells.reshape(N),
         tables.ray_packed,
@@ -891,6 +922,151 @@ def rays_cull_sorted(o, d, cells, tables, t_max=INF):
     """Cell-sorted culled single-ray nearest hit (F=1 fan)."""
     t = ray_fans_cull_sorted(
         o, jnp.zeros(o.shape[:-1] + (1,), o.dtype), d[..., None, :],
-        cells, tables, t_max=t_max,
+        cells, tables, t_max=t_max, zgroups=(1,),
     )
     return t[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Cell-sorted sphere casts: cast groups (agents) sorted by culling cell so
+# each Pallas block loads ONE [32, K] candidate table and runs the dense
+# sphere-cast kernel over it — replacing sphere_cast_cull's per-agent table
+# streaming (which re-loads AGENTS_PER_BLOCK tables per grid step). The
+# relayout is tiny relative to the fan path: CPA casts per agent, no F=104
+# direction fan to permute.
+# ---------------------------------------------------------------------------
+
+SORTED_SCB = 16  # cast groups (agents) per block — one cell per block
+
+_SC_SORTED_CACHE = {}
+
+
+def _get_sc_sorted(CPA: int, K: int, r: float, with_normal: bool):
+    from .raycast_pallas import _make_sc_kernel
+
+    ck = (CPA, K, r, with_normal, _interp())
+    if ck in _SC_SORTED_CACHE:
+        return _SC_SORTED_CACHE[ck]
+
+    SCB = SORTED_SCB
+    dense = _make_sc_kernel(r, K, with_normal)
+
+    def kernel(bc_ref, rays_ref, tri_ref, out_ref):
+        # same per-(cast, tri) sweep as the dense kernel; the candidate
+        # block is picked by the scalar-prefetched block_cell array
+        dense(rays_ref, tri_ref[0], out_ref)
+
+    def call(block_cell, rays, sc_table):
+        R = rays.shape[0]  # S * CPA
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // (SCB * CPA),),
+            in_specs=[
+                pl.BlockSpec((SCB * CPA, 8), lambda i, bc: (i, 0)),
+                pl.BlockSpec((1, SC2_ROWS, K), lambda i, bc: (bc[i], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((SCB * CPA, 8), lambda i, bc: (i, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((R, 8), jnp.float32),
+            interpret=_interp(),
+        )(block_cell, rays, sc_table)
+
+    @jax.custom_batching.custom_vmap
+    def sc_sorted_flat(o, d, cells, sc_table):
+        """o, d: [N, CPA, 3]; cells [N] -> (t [N, CPA], winner lane
+        [N, CPA] f32, in-cell candidate index; garbage on miss)."""
+        N, C = o.shape[0], sc_table.shape[0]
+        slot, block_cell, S = cell_sorted_layout(cells, C, SCB)
+        rays8 = jnp.concatenate(
+            [o, d, jnp.zeros((N, CPA, 2), jnp.float32)], axis=-1
+        )
+        rays_p = (
+            jnp.zeros((S, CPA, 8), jnp.float32).at[slot].set(rays8)
+        ).reshape(S * CPA, 8)
+        out = call(block_cell, rays_p, sc_table)
+        out = out.reshape(S, CPA, 8)[slot]  # [N, CPA, 8]
+        return out[..., 0], out[..., 1]
+
+    @sc_sorted_flat.def_vmap
+    def _vmap(axis_size, in_batched, o, d, cells, sc_table):
+        ob, db, cb, tb = in_batched
+        assert not tb
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        t, idx = sc_sorted_flat(
+            bcast(o, ob), bcast(d, db), bcast(cells, cb), sc_table
+        )
+        return (
+            (t.reshape((B, -1) + t.shape[1:]),
+             idx.reshape((B, -1) + idx.shape[1:])),
+            (True, True),
+        )
+
+    _SC_SORTED_CACHE[ck] = sc_sorted_flat
+    return sc_sorted_flat
+
+
+def sphere_cast_cull_sorted(o, d, r: float, cells, tables, soup, t_max=INF,
+                            with_normal: bool = True):
+    """Cell-sorted culled grouped sphere casts; contract of
+    sphere_cast_cull (o, d [..., CPA, 3], one cell per group)."""
+    batch_shape = o.shape[:-2]
+    CPA = o.shape[-2]
+    N = int(np.prod(batch_shape)) if batch_shape else 1
+
+    sc = _get_sc_sorted(CPA, tables.K, float(r), with_normal)
+    t, kidx_f = sc(
+        o.reshape(N, CPA, 3), d.reshape(N, CPA, 3), cells.reshape(N),
+        tables.sc_packed,
+    )
+    missed = ~jnp.isfinite(t) | (t > t_max)
+    t_final = jnp.where(missed, INF, t)
+    if not with_normal:
+        z = jnp.zeros(batch_shape + (CPA, 3), jnp.float32)
+        return t_final.reshape(batch_shape + (CPA,)), z
+
+    # winner-only normal reconstruction: map the in-cell winner lane back
+    # to the original triangle (as sphere_cast_cull)
+    cells_f = cells.reshape(N)
+    kidx = jnp.clip(kidx_f.astype(jnp.int32), 0, tables.K - 1)
+    orig = tables.cand_idx[cells_f[:, None], kidx]  # [N, CPA]
+    orig = jnp.clip(orig, 0, soup.v0.shape[0] - 1)
+
+    from .raycast import _closest_point_on_tri
+
+    of = o.reshape(N, CPA, 3)
+    df = d.reshape(N, CPA, 3)
+    v0 = soup.v0[orig]
+    e1 = soup.e1[orig]
+    e2 = soup.e2[orig]
+    n = soup.normal[orig]
+
+    finite_t = jnp.where(jnp.isfinite(t), t, 0.0)
+    hit_center = of + finite_t[..., None] * df
+    closest = _closest_point_on_tri(hit_center, v0, e1, e2)
+    depen = hit_center - closest
+    dlen = jnp.linalg.norm(depen, axis=-1, keepdims=True)
+    edge_n = jnp.where(
+        dlen > 1e-12, depen / jnp.maximum(dlen, 1e-30),
+        jnp.array([0.0, 0.0, 1.0]),
+    )
+    h = jnp.sum((of - v0) * n, axis=-1)
+    sign = jnp.where(h >= 0.0, 1.0, -1.0)
+    face_n = sign[..., None] * n
+    is_face = jnp.abs(jnp.sum(edge_n * n, axis=-1)) > 0.999
+    normal = jnp.where(is_face[..., None], face_n, edge_n)
+    normal = jnp.where(missed[..., None], 0.0, normal)
+    return (
+        t_final.reshape(batch_shape + (CPA,)),
+        normal.reshape(batch_shape + (CPA, 3)),
+    )

@@ -92,13 +92,17 @@ def pack_tri_consts(tri_verts: np.ndarray, pad_to: int = 256) -> np.ndarray:
     w2 = (d00[:, None] * e2 - d01[:, None] * e1) / safe[:, None]
 
     out = np.zeros((TRI_CONST_ROWS, T), np.float32)
-    out[_NX:_NZ + 1] = n.T
-    out[_D0] = np.sum(n * v0, axis=-1)
-    out[_W1X:_W1Z + 1] = w1.T
-    out[_C1] = -np.sum(w1 * v0, axis=-1)
-    out[_W2X:_W2Z + 1] = w2.T
-    out[_C2] = -np.sum(w2 * v0, axis=-1)
     valid = (np.arange(T) < t) & (np.abs(denom) > 1e-20)
+    # invalid/padding tris get all-zero constants: in the kernels their
+    # plane test degenerates to t = 0 * inf = NaN, so every hit comparison
+    # fails without an explicit validity mask in the per-pair epilogue
+    vm = valid.astype(np.float64)
+    out[_NX:_NZ + 1] = (n * vm[:, None]).T
+    out[_D0] = np.sum(n * v0, axis=-1) * vm
+    out[_W1X:_W1Z + 1] = (w1 * vm[:, None]).T
+    out[_C1] = -np.sum(w1 * v0, axis=-1) * vm
+    out[_W2X:_W2Z + 1] = (w2 * vm[:, None]).T
+    out[_C2] = -np.sum(w2 * v0, axis=-1) * vm
     out[_VALID] = valid.astype(np.float32)
     return out
 
@@ -238,12 +242,26 @@ def pack_dir_consts(tri_consts: np.ndarray) -> np.ndarray:
     return out.astype(jnp.bfloat16)
 
 
-def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK):
+MAX_ZGROUPS = 5  # origin SMEM row = x y z + up to 5 per-group z offsets
+
+
+def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK,
+                     zgroups=None):
+    """zgroups: static tuple of ray-run lengths within a fan; rays of one
+    group share a per-(fan, group) origin z offset carried in the origin
+    SMEM row (cols 3+). All of an agent's sensor rays fall into 5 such
+    groups (LOS eye height + 2 lidar rows x fwd/rear), so the z-dependent
+    intersection terms hoist out of the per-(ray, tri) loop entirely and
+    the direction stream needs no per-ray z column (bf16 [F*fpb, 4])."""
+    grouped = zgroups is not None
+    if grouped:
+        assert sum(zgroups) == F and len(zgroups) <= MAX_ZGROUPS
+
     def kernel(orig_ref, dirs_ref, tri_ref, dirmat_ref, out_ref):
-        # orig_ref: [FPB, 8] SMEM f32 (fan base origin xyz);
-        # dirs_ref: [FPB*F, 8] VMEM f32 (dx dy dz z_offset — per-ray origin
-        # is base + (0, 0, z_offset)); tri_ref: [16, T] f32;
-        # dirmat_ref: [16, 3T] bf16
+        # orig_ref: [FPB, 8] SMEM f32 (x y z [z_g0..z_g4 when grouped]);
+        # dirs_ref: [FPB*F, 4] VMEM — bf16 (dx dy dz 0) when grouped, else
+        # f32 (dx dy dz z_offset); tri_ref: [16, T] f32;
+        # dirmat_ref: [DIR_K, 3T] bf16
         tc = tri_ref[:]
         nx, ny, nz = tc[_NX:_NX + 1], tc[_NY:_NY + 1], tc[_NZ:_NZ + 1]
         d0 = tc[_D0:_D0 + 1]
@@ -251,15 +269,14 @@ def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK):
         c1 = tc[_C1:_C1 + 1]
         w2x, w2y, w2z = tc[_W2X:_W2X + 1], tc[_W2Y:_W2Y + 1], tc[_W2Z:_W2Z + 1]
         c2 = tc[_C2:_C2 + 1]
-        valid = tc[_VALID:_VALID + 1] > 0.0
 
         dirs = dirs_ref[:]
         # bf16 MXU matmul over the K-padded direction matrix (rows 3+ are
-        # zero, so the z-offset in column 3 is inert here)
-        db = jnp.pad(dirs, ((0, 0), (0, DIR_K - 8))).astype(jnp.bfloat16)
+        # zero, so a z-offset in column 3 is inert here)
+        db = jnp.pad(dirs, ((0, 0), (0, DIR_K - 4))).astype(jnp.bfloat16)
         dm = dirmat_ref[:]  # [DIR_K, 3T] bf16
         dd = jnp.dot(db, dm, preferred_element_type=jnp.float32)
-        zoff = dirs[:, 3:4]  # [FPB*F, 1] f32 per-ray origin z offset
+        zoff = None if grouped else dirs[:, 3:4]  # per-ray z (f32 mode)
 
         inf = jnp.float32(np.inf)
         for f in range(fpb):
@@ -270,24 +287,47 @@ def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK):
             u0 = ox * w1x + oy * w1y + oz * w1z + c1
             v0 = ox * w2x + oy * w2y + oz * w2z + c2
 
-            sl = slice(f * F, (f + 1) * F)
-            nd = dd[sl, 0:T]
-            w1d = dd[sl, T:2 * T]
-            w2d = dd[sl, 2 * T:3 * T]
-            z = zoff[sl]  # [F, 1]
-
             # ND ~ 0 (parallel ray) needs no guard: t -> +-inf or NaN and
-            # every NaN/inf comparison below rejects the pair. Approximate
+            # every comparison below rejects the pair (a +-inf t always
+            # drives u or v to inf/NaN). Invalid/padding tris need no mask
+            # either: their packed normal is the zero vector, so
+            # t = 0 * inf = NaN and every comparison fails. Approximate
             # reciprocal (2^-12 rel err) beats the multi-pass f32 divide;
             # sensor distances tolerate 0.02%.
-            t = (no2 - z * nz) * pl.reciprocal(nd, approx=True)
-            u = (u0 + z * w1z) + t * w1d
-            v = (v0 + z * w2z) + t * w2d
-            hit = (
-                (t > 0.0) & (u >= 0.0) & (v >= 0.0)
-                & (u + v <= 1.0) & valid & (t < inf)
-            )
-            tt = jnp.where(hit, t, inf)
+            if grouped:
+                # z-dependent terms hoist per (fan, group, tri): all of an
+                # agent's rays share one of <=5 origin z offsets
+                parts = []
+                row = 0
+                for g, glen in enumerate(zgroups):
+                    zg = orig_ref[f, 3 + g]
+                    no2g = no2 - zg * nz
+                    u0g = u0 + zg * w1z
+                    v0g = v0 + zg * w2z
+                    sl = slice(f * F + row, f * F + row + glen)
+                    t = no2g * pl.reciprocal(dd[sl, 0:T], approx=True)
+                    u = u0g + t * dd[sl, T:2 * T]
+                    v = v0g + t * dd[sl, 2 * T:3 * T]
+                    hit = (
+                        (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    )
+                    parts.append(jnp.where(hit, t, inf))
+                    row += glen
+                tt = (
+                    parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, 0)
+                )
+            else:
+                sl = slice(f * F, (f + 1) * F)
+                nd = dd[sl, 0:T]
+                w1d = dd[sl, T:2 * T]
+                w2d = dd[sl, 2 * T:3 * T]
+                z = zoff[sl]  # [F, 1]
+                t = (no2 - z * nz) * pl.reciprocal(nd, approx=True)
+                u = (u0 + z * w1z) + t * w1d
+                v = (v0 + z * w2z) + t * w2d
+                hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                tt = jnp.where(hit, t, inf)
             # one fan per OUTPUT ROW (in-kernel transpose): a [N*F, 1]
             # output forces a slow 1-lane relayout downstream
             tmin = jnp.min(tt, axis=1, keepdims=True)  # [F, 1]
@@ -299,21 +339,54 @@ def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK):
 _FAN_FLAT_CACHE = {}
 
 
-def _get_fan_flat(F: int):
-    """custom_vmap flat entry: (origins [N, 3], dirs [N, F, 3], tri_consts,
-    dir_consts) -> t [N, F]; vmap flattens batch into the fan axis."""
-    ck = (F, _interp())
+def pack_fan_operands(origins, zoffs, dirs, N, F, zgroups):
+    """Shared operand packing for the fan kernels: returns (origs [N, 8]
+    f32, dirs4 [N*F, 4]). Grouped mode packs per-group z offsets into the
+    origin row (cols 3+) and casts dirs to bf16 (they only feed the bf16
+    MXU matmul); per-ray mode carries z in the f32 direction stream."""
+    if zgroups is not None:
+        G = len(zgroups)
+        origs = jnp.concatenate(
+            [origins, zoffs.reshape(N, G),
+             jnp.zeros((N, 5 - G), jnp.float32)],
+            axis=1,
+        )
+        dirs4 = jnp.concatenate(
+            [
+                dirs.reshape(N * F, 3),
+                jnp.zeros((N * F, 1), jnp.float32),
+            ],
+            axis=1,
+        ).astype(jnp.bfloat16)
+    else:
+        origs = jnp.concatenate(
+            [origins, jnp.zeros((N, 5), jnp.float32)], axis=1
+        )
+        dirs4 = jnp.concatenate(
+            [dirs.reshape(N * F, 3), zoffs.reshape(N * F, 1)],
+            axis=1,
+        )
+    return origs, dirs4
+
+
+def _get_fan_flat(F: int, zgroups=None):
+    """custom_vmap flat entry: (origins [N, 3], zoffs, dirs [N, F, 3],
+    tri_consts, dir_consts) -> t [N, F]; vmap flattens batch into the fan
+    axis. zoffs is [N, F] per-ray z, or [N, G] per-group z when ``zgroups``
+    (static run lengths summing to F) is given."""
+    ck = (F, zgroups, _interp())
     if ck in _FAN_FLAT_CACHE:
         return _FAN_FLAT_CACHE[ck]
 
     FPB = FANS_PER_BLOCK
 
     F_out = -(-F // 128) * 128
+    dirs_dtype = jnp.float32 if zgroups is None else jnp.bfloat16
 
     def call(origs, dirs, tri_consts, dir_consts):
         N = origs.shape[0]
         T = tri_consts.shape[1]
-        kernel = _make_fan_kernel(F, T)
+        kernel = _make_fan_kernel(F, T, zgroups=zgroups)
         out = pl.pallas_call(
             kernel,
             grid=(N // FPB,),
@@ -322,7 +395,7 @@ def _get_fan_flat(F: int):
                     (FPB, 8), lambda i: (i, 0), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec(
-                    (FPB * F, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (FPB * F, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
                     (TRI_CONST_ROWS, T), lambda i: (0, 0),
@@ -346,20 +419,10 @@ def _get_fan_flat(F: int):
         N_pad = -(-max(N, 1) // FPB) * FPB
         # one fused concat per operand (strided .at[, col].set column writes
         # dominate kernel runtime otherwise)
-        origs = jnp.concatenate(
-            [origins, jnp.zeros((N, 5), jnp.float32)], axis=1
-        )
+        origs, dirs4 = pack_fan_operands(origins, zoffs, dirs, N, F, zgroups)
         origs = jnp.pad(origs, ((0, N_pad - N), (0, 0)))
-        dirs8 = jnp.concatenate(
-            [
-                dirs.reshape(N * F, 3),
-                zoffs.reshape(N * F, 1),
-                jnp.zeros((N * F, 4), jnp.float32),
-            ],
-            axis=1,
-        )
-        dirs8 = jnp.pad(dirs8, ((0, (N_pad - N) * F), (0, 0)))
-        out = call(origs, dirs8, tri_consts, dir_consts)
+        dirs4 = jnp.pad(dirs4, ((0, (N_pad - N) * F), (0, 0)))
+        out = call(origs, dirs4, tri_consts, dir_consts)
         return out[:N, :F]
 
     @fan_flat.def_vmap
@@ -384,18 +447,19 @@ def _get_fan_flat(F: int):
     return fan_flat
 
 
-def ray_fans_vs_tris_pallas(origins, zoffs, dirs, soup, t_max=INF):
+def ray_fans_vs_tris_pallas(origins, zoffs, dirs, soup, t_max=INF,
+                            zgroups=None):
     """Nearest-hit for bundles of rays sharing a base origin.
-    origins: [..., 3] fan base; zoffs: [..., F] per-ray origin z offset;
-    dirs: [..., F, 3] (any scale — t is in |d| units); returns t [..., F]
-    (inf on miss)."""
+    origins: [..., 3] fan base; zoffs: [..., F] per-ray origin z offset
+    ([..., G] per-group when ``zgroups`` is given); dirs: [..., F, 3] (any
+    scale — t is in |d| units); returns t [..., F] (inf on miss)."""
     batch_shape = origins.shape[:-1]
     F = dirs.shape[-2]
     N = int(np.prod(batch_shape)) if batch_shape else 1
-    fan_flat = _get_fan_flat(F)
+    fan_flat = _get_fan_flat(F, zgroups)
     t = fan_flat(
         origins.reshape(N, 3),
-        zoffs.reshape(N, F),
+        zoffs.reshape(N, -1),
         dirs.reshape(N, F, 3),
         soup.packed,
         soup.dir_packed,

@@ -170,8 +170,15 @@ def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState,
         axis=1,
     )
 
+    # static z-group runs: LOS rays share the eye height; each lidar row
+    # shares its height (z constant along a row by construction above) —
+    # lets the TPU fan kernels hoist every z term out of the pair loop
+    zgroups = (ts * 4,) + (
+        (consts.fwd_lidar_width,) * consts.fwd_lidar_height
+    ) + ((consts.rear_lidar_width,) * consts.rear_lidar_height)
     t = ray_fans_vs_tris(
-        state.pos, zoffs, dirs, m.tris, cells=cells, tables=m.cells
+        state.pos, zoffs, dirs, m.tris, cells=cells, tables=m.cells,
+        zgroups=zgroups,
     )
 
     o = state.pos[:, None, :] + jnp.stack(

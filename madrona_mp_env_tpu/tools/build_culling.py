@@ -41,8 +41,16 @@ def main():
 
     tri_verts = morton_sort_tris(col.tri_verts)
 
+    spawns = formats.load_spawns(os.path.join(args.scene_dir, "spawns.bin"))
     walkable = np.concatenate(
-        [nav.verts, nav.verts[nav.tri_indices].mean(axis=1)], axis=0
+        [
+            nav.verts,
+            nav.verts[nav.tri_indices].mean(axis=1),
+            culling.spawn_box_points(
+                (spawns.a_spawns, spawns.b_spawns, spawns.common_respawns)
+            ),
+        ],
+        axis=0,
     ).astype(np.float32)
 
     t0 = time.time()

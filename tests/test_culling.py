@@ -250,6 +250,35 @@ class TestCulledKernels:
         ).reshape(N, F)
         np.testing.assert_allclose(t_v, t_k, rtol=1e-6)
 
+    def test_fan_cull_sorted_zgroups(self, synth):
+        """Grouped-z sorted-culled fans (the sim's sensor configuration)
+        match the per-ray-z sorted kernel exactly."""
+        tv, tables, soup, _ = synth
+        from madrona_mp_env_tpu.ops.raycast_cull import ray_fans_cull_sorted
+
+        N = 24
+        zgroups = (8, 8, 8)
+        F = sum(zgroups)
+        rng = np.random.default_rng(17)
+        base = np.stack(
+            [rng.uniform(-520, 520, N), rng.uniform(-520, 520, N),
+             np.full(N, 0.0)], axis=1
+        ).astype(np.float32)
+        zg = rng.uniform(10, 70, (N, len(zgroups))).astype(np.float32)
+        zoffs = np.repeat(zg, zgroups, axis=-1)
+        d = rng.normal(size=(N, F, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        base, d = jnp.asarray(base), jnp.asarray(d)
+        cells = culling.cell_index(tables, base)
+
+        t_g = np.asarray(ray_fans_cull_sorted(
+            base, jnp.asarray(zg), d, cells, tables, zgroups=zgroups
+        ))
+        t_r = np.asarray(ray_fans_cull_sorted(
+            base, jnp.asarray(zoffs), d, cells, tables
+        ))
+        np.testing.assert_allclose(t_g, t_r, rtol=1e-5)
+
     def test_sphere_cast_cull_vs_dense_full(self, synth):
         tv, tables, soup, _ = synth
         N, CPA = 64, 7
@@ -278,6 +307,57 @@ class TestCulledKernels:
         if pos.any():
             dot = np.sum(np.asarray(n_k)[pos] * np.asarray(n_d)[pos], -1)
             assert dot.min() >= 0.99
+
+    def test_sphere_cast_cull_sorted_vs_dense_full(self, synth):
+        """Cell-sorted grouped sphere casts (one candidate block per Pallas
+        block) vs the full dense sweep, with and without normals."""
+        tv, tables, soup, _ = synth
+        N, CPA = 64, 7
+        rng = np.random.default_rng(6)
+        o = np.stack(
+            [rng.uniform(-520, 520, N), rng.uniform(-520, 520, N),
+             rng.uniform(16, 80, N)], axis=1
+        ).astype(np.float32)
+        o_g = np.repeat(o[:, None, :], CPA, axis=1)
+        o_g += rng.uniform(-10, 10, o_g.shape).astype(np.float32)
+        d = rng.normal(size=(N, CPA, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o_g, d = jnp.asarray(o_g), jnp.asarray(d)
+
+        cells = culling.cell_index(tables, jnp.asarray(o))
+        from madrona_mp_env_tpu.ops.raycast_cull import (
+            sphere_cast_cull_sorted,
+        )
+
+        t_k, n_k = sphere_cast_cull_sorted(
+            o_g, d, 15.0, cells, tables, soup
+        )
+        t_d, n_d = rc._sphere_cast_vs_tris_dense(o_g, d, 15.0, soup)
+        t_k, t_d = np.asarray(t_k), np.asarray(t_d)
+        agree = np.isfinite(t_k) == np.isfinite(t_d)
+        assert agree.mean() >= 0.995
+        both = np.isfinite(t_k) & np.isfinite(t_d)
+        assert np.abs(t_k[both] - t_d[both]).max() <= 1e-2
+        pos = both & (t_k > 1e-6) & (np.abs(t_k - t_d) <= 1e-3)
+        if pos.any():
+            dot = np.sum(np.asarray(n_k)[pos] * np.asarray(n_d)[pos], -1)
+            assert dot.min() >= 0.99
+        # normal-free launch: identical t, zero normals
+        t_nf, n_nf = sphere_cast_cull_sorted(
+            o_g, d, 15.0, cells, tables, soup, with_normal=False
+        )
+        np.testing.assert_allclose(np.asarray(t_nf), t_k, rtol=1e-6)
+        assert not np.asarray(n_nf).any()
+        # vmapped (the sim's per-world call shape) matches flat
+        t_v, _ = jax.vmap(
+            lambda oo, dd, cc: sphere_cast_cull_sorted(
+                oo, dd, 15.0, cc, tables, soup
+            )
+        )(o_g.reshape(4, 16, CPA, 3), d.reshape(4, 16, CPA, 3),
+          cells.reshape(4, 16))
+        np.testing.assert_allclose(
+            np.asarray(t_v).reshape(N, CPA), t_k, rtol=1e-6
+        )
 
     def test_fan_capsules_vs_dense(self, synth):
         _, tables, _, _ = synth
@@ -329,9 +409,82 @@ class TestCulledKernels:
 
 
 class TestFullStepParity:
-    def test_step_culled_vs_dense(self, simple_map_dir):
-        """One env step via the culled kernels (interpret) vs the dense path
-        from identical state, repeated along a dense-path trajectory."""
+    def test_step_sorted_culled_vs_dense(self, simple_map_dir):
+        """One env step with the cell-sorted culled kernels forced
+        (MPENV_CULL=sorted, interpret) vs the dense jnp path from identical
+        state — covers the production TPU dispatch (fan + fire + grouped
+        sphere casts all through the sorted tables)."""
+        import madrona_mp_env_tpu as mp
+        from madrona_mp_env_tpu.sim.types import Actions
+
+        if not os.path.exists(os.path.join(simple_map_dir, "culling.npz")):
+            pytest.skip("simple_map culling tables not built")
+
+        cfg = mp.EnvConfig(
+            task=mp.Task.Zone, team_size=3,
+            sim_flags=mp.SimFlags.StaggerStarts,
+        )
+        env = mp.Env(cfg, simple_map_dir, num_worlds=2, seed=9)
+        assert env.map_data.cells is not None
+        state, _ = env.reset()
+
+        step = env.step_fn()
+        sim_ctrl = env.default_sim_ctrl()
+        no_reset = jnp.zeros((2,), jnp.int32)
+
+        rng = np.random.default_rng(13)
+        A = cfg.num_agents
+        try:
+            for i in range(6):
+                acts = Actions(
+                    move_amount=jnp.asarray(rng.integers(0, 3, (2, A))),
+                    move_angle=jnp.asarray(rng.integers(0, 8, (2, A))),
+                    fire=jnp.asarray(rng.integers(0, 2, (2, A))),
+                    stand=jnp.asarray(rng.integers(0, 3, (2, A))),
+                    aim_yaw=jnp.asarray(rng.integers(0, 13, (2, A))),
+                    aim_pitch=jnp.asarray(rng.integers(0, 7, (2, A))),
+                    aim_yaw_rate=jnp.zeros((2, A), jnp.float32),
+                    aim_pitch_rate=jnp.zeros((2, A), jnp.float32),
+                )
+                os.environ["MPENV_PALLAS"] = "interpret"
+                os.environ["MPENV_CULL"] = "sorted"
+                s_k, out_k = step(state, acts, sim_ctrl, no_reset)
+                os.environ["MPENV_CULL"] = "0"
+                os.environ["MPENV_PALLAS"] = "dense"
+                s_d, out_d = step(state, acts, sim_ctrl, no_reset)
+                os.environ["MPENV_PALLAS"] = "interpret"
+
+                np.testing.assert_allclose(
+                    np.asarray(s_k.pos), np.asarray(s_d.pos), atol=2e-2,
+                    err_msg=f"pos diverged at step {i}",
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(s_k.hp), np.asarray(s_d.hp),
+                    err_msg=f"hp diverged at step {i}",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(out_k["reward"]), np.asarray(out_d["reward"]),
+                    atol=1e-3, err_msg=f"reward diverged at step {i}",
+                )
+                lid_k = np.asarray(out_k["obs"]["fwd_lidar"][..., 0])
+                lid_d = np.asarray(out_d["obs"]["fwd_lidar"][..., 0])
+                rel = np.abs(lid_k - lid_d) / np.maximum(np.abs(lid_d), 1.0)
+                assert (rel > 2e-2).mean() <= 1e-2, (
+                    f"lidar flips at step {i}: {(rel > 2e-2).mean():.4f}"
+                )
+                assert np.quantile(rel, 0.995) <= 2e-2, (
+                    f"lidar depth rel err at step {i}: "
+                    f"p99.5 {np.quantile(rel, 0.995):.3e}"
+                )
+                state = s_d  # dense trajectory is the canon
+        finally:
+            os.environ.pop("MPENV_CULL", None)
+
+    def test_step_pallas_vs_dense(self, simple_map_dir):
+        """One env step via the dense-soup Pallas kernels (interpret) vs the
+        dense jnp path from identical state, repeated along a dense-path
+        trajectory (MPENV_CULL unset — the culled dispatch is covered by
+        test_step_sorted_culled_vs_dense above)."""
         import madrona_mp_env_tpu as mp
         from madrona_mp_env_tpu.sim.types import Actions
 

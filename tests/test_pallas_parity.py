@@ -153,6 +153,39 @@ class TestFanKernel:
         t_d = rc._ray_vs_tris_dense(o, d, s)
         _assert_ray_parity(t_k, t_d, rel_tol=2e-2, mismatch_frac=0.01)
 
+    def test_fans_zgroups_vs_per_ray(self, map_soup):
+        """Grouped-z fan mode (per-group z hoisting, bf16 direction
+        stream — the sim's sensor-fan configuration) must match the
+        per-ray-z kernel exactly: same math, just hoisted."""
+        tris, s = map_soup
+        N = 16
+        zgroups = (24, 32, 32, 8, 8)
+        F = sum(zgroups)
+        key = jax.random.PRNGKey(31)
+        base = jax.random.uniform(key, (N, 3), minval=-1500, maxval=1500)
+        base = base.at[:, 2].set(10.0)
+        zg = jax.random.uniform(
+            jax.random.PRNGKey(32), (N, len(zgroups)), minval=15.0,
+            maxval=65.0,
+        )
+        zoffs = jnp.repeat(
+            zg, np.array(zgroups), axis=-1, total_repeat_length=F
+        )
+        d = jax.random.normal(jax.random.PRNGKey(33), (N, F, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+        t_g = rc.ray_fans_vs_tris(base, zoffs, d, s, zgroups=zgroups)
+        t_r = rc.ray_fans_vs_tris(base, zoffs, d, s)
+        np.testing.assert_allclose(
+            np.asarray(t_g), np.asarray(t_r), rtol=1e-5
+        )
+        # and against the dense reference sweep
+        o = base[:, None, :] + jnp.stack(
+            [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
+        )
+        t_d = rc._ray_vs_tris_dense(o, d, s)
+        _assert_ray_parity(t_g, t_d, rel_tol=2e-2, mismatch_frac=0.01)
+
     def test_fans_interior_random_geom(self, soup):
         tris, s = soup
         o, d = interior_rays(jax.random.PRNGKey(21), tris, n_rays=64)
