@@ -827,7 +827,10 @@ _FAN_SORTED_CACHE = {}
 def _get_fan_sorted(F: int, K: int, zgroups=None):
     from .raycast_pallas import DIR_K
 
-    ck = (F, K, zgroups, _interp())
+    from .raycast_pallas import fan_engine
+
+    ck = (F, K, zgroups, fan_engine() if zgroups is not None else "mxu",
+          _interp())
     if ck in _FAN_SORTED_CACHE:
         return _FAN_SORTED_CACHE[ck]
 
@@ -841,8 +844,11 @@ def _get_fan_sorted(F: int, K: int, zgroups=None):
             num_scalar_prefetch=1,
             grid=(S // FPB,),
             in_specs=[
+                # grouped (v4) kernels vector-load origins from VMEM;
+                # per-ray-z kernels read them scalarly from SMEM
                 pl.BlockSpec((FPB, 8), lambda i, bc: (i, 0),
-                             memory_space=pltpu.SMEM),
+                             memory_space=(pltpu.VMEM if zgroups is not None
+                                           else pltpu.SMEM)),
                 pl.BlockSpec((FPB * F, 4), lambda i, bc: (i, 0)),
                 pl.BlockSpec((1, 16, K), lambda i, bc: (bc[i], 0, 0)),
                 pl.BlockSpec((1, DIR_K, 3 * K), lambda i, bc: (bc[i], 0, 0)),
@@ -863,14 +869,23 @@ def _get_fan_sorted(F: int, K: int, zgroups=None):
         N, C = origins.shape[0], ray_table.shape[0]
         slot, block_cell, S = cell_sorted_layout(cells, C, FPB)
 
+        from .raycast_pallas import fan_engine
+
+        dirs_dtype = (
+            jnp.bfloat16
+            if (zgroups is None or fan_engine() == "mxu") else jnp.float32
+        )
         origins8, dirs4 = pack_fan_operands(
-            origins, zoffs, dirs, N, F, zgroups
+            origins, zoffs, dirs, N, F, zgroups, dirs_dtype=dirs_dtype
         )
         origs = jnp.zeros((S, 8), jnp.float32).at[slot].set(origins8)
-        dirs_p = (
-            jnp.zeros((S, F, 4), dirs4.dtype)
-            .at[slot].set(dirs4.reshape(N, F, 4))
-        ).reshape(S * F, 4)
+        dirs_p = jnp.zeros((S, F, 4), dirs4.dtype).at[slot].set(
+            dirs4.reshape(N, F, 4)
+        )
+        if zgroups is not None:
+            # v4 ray-major block layout: row = ray_idx * FPB + fan
+            dirs_p = dirs_p.reshape(S // FPB, FPB, F, 4).transpose(0, 2, 1, 3)
+        dirs_p = dirs_p.reshape(S * F, 4)
         out = call(block_cell, origs, dirs_p, ray_table, dir_table)
         return out[slot, :F]
 

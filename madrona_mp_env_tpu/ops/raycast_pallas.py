@@ -255,7 +255,7 @@ def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK,
     the direction stream needs no per-ray z column (bf16 [F*fpb, 4])."""
     grouped = zgroups is not None
     if grouped:
-        assert sum(zgroups) == F and len(zgroups) <= MAX_ZGROUPS
+        return _make_fan_kernel_v4(F, T, fpb, zgroups, engine=fan_engine())
 
     def kernel(orig_ref, dirs_ref, tri_ref, dirmat_ref, out_ref):
         # orig_ref: [FPB, 8] SMEM f32 (x y z [z_g0..z_g4 when grouped]);
@@ -336,14 +336,96 @@ def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK,
     return kernel
 
 
+def fan_engine() -> str:
+    """MPENV_FAN: 'mxu' (default — bf16 MXU direction dots) or 'vpu'
+    (f32 VPU dots fused into the epilogue). The MXU matmul pads the
+    3-long xyz contraction to the systolic width, so it costs the same
+    cycles as a K=128 matmul and serializes with the VPU epilogue; on
+    paper the fused-VPU variant's extra 9 fma/pair is cheaper than that
+    matmul. Both kept for on-chip A/B."""
+    return os.environ.get("MPENV_FAN", "mxu")
+
+
+def _make_fan_kernel_v4(F: int, T: int, fpb: int, zgroups, engine="mxu"):
+    """Grouped fan kernel, ray-major layout: within a block the direction
+    stream is ordered (ray, fan) — row = ray_idx * fpb + fan — so each
+    z-group is ONE [glen * fpb, T] VPU segment with the origin-dependent
+    terms computed vectorized over all fpb fans at once. The v3 layout
+    (fan-major) unrolled a python loop over fans whose per-fan origin math
+    ran on [1, T] tiles (1 of 8 sublanes busy) and fragmented the epilogue
+    into fpb * len(zgroups) small segments; this one keeps the VPU on full
+    tiles throughout. Origins ride VMEM (vector loads), not SMEM."""
+    assert sum(zgroups) == F and len(zgroups) <= MAX_ZGROUPS
+
+    def kernel(orig_ref, dirs_ref, tri_ref, dirmat_ref, out_ref):
+        # orig_ref: [FPB, 8] VMEM f32 (x y z z_g0..z_g4);
+        # dirs_ref: [F*FPB, 4] ray-major (dx dy dz 0) — bf16 (mxu) / f32
+        # (vpu); tri_ref: [16, T] f32; dirmat_ref: [DIR_K, 3T] bf16;
+        # out_ref: [FPB, F_out] f32
+        tc = tri_ref[:]
+        nx, ny, nz = tc[_NX:_NX + 1], tc[_NY:_NY + 1], tc[_NZ:_NZ + 1]
+        d0 = tc[_D0:_D0 + 1]
+        w1x, w1y, w1z = tc[_W1X:_W1X + 1], tc[_W1Y:_W1Y + 1], tc[_W1Z:_W1Z + 1]
+        c1 = tc[_C1:_C1 + 1]
+        w2x, w2y, w2z = tc[_W2X:_W2X + 1], tc[_W2Y:_W2Y + 1], tc[_W2Z:_W2Z + 1]
+        c2 = tc[_C2:_C2 + 1]
+
+        if engine == "mxu":
+            db = jnp.pad(dirs_ref[:], ((0, 0), (0, DIR_K - 4)))
+            dd = jnp.dot(db, dirmat_ref[:], preferred_element_type=jnp.float32)
+        else:
+            dirs = dirs_ref[:]
+            dxc, dyc, dzc = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+
+        o = orig_ref[:]
+        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # [FPB, 1]
+        no2 = d0 - (ox * nx + oy * ny + oz * nz)  # [FPB, T]
+        u0 = ox * w1x + oy * w1y + oz * w1z + c1
+        v0 = ox * w2x + oy * w2y + oz * w2z + c2
+
+        inf = jnp.float32(np.inf)
+        row = 0
+        for g, glen in enumerate(zgroups):
+            zg = o[:, 3 + g:4 + g]  # [FPB, 1]
+            # z-dependent terms hoist per (fan, tri); [FPB, T] tiles
+            no2g = no2 - zg * nz
+            u0g = u0 + zg * w1z
+            v0g = v0 + zg * w2z
+            sl = slice(row * fpb, (row + glen) * fpb)
+            if engine == "mxu":
+                nd = dd[sl, 0:T].reshape(glen, fpb, T)
+                w1d = dd[sl, T:2 * T].reshape(glen, fpb, T)
+                w2d = dd[sl, 2 * T:3 * T].reshape(glen, fpb, T)
+            else:
+                dxg, dyg, dzg = dxc[sl], dyc[sl], dzc[sl]  # [glen*fpb, 1]
+                nd = (dxg * nx + dyg * ny + dzg * nz).reshape(glen, fpb, T)
+                w1d = (dxg * w1x + dyg * w1y + dzg * w1z).reshape(
+                    glen, fpb, T)
+                w2d = (dxg * w2x + dyg * w2y + dzg * w2z).reshape(
+                    glen, fpb, T)
+            # see v3 kernel notes: parallel rays / padding tris need no
+            # guards (t degenerates to ±inf/NaN and every compare rejects)
+            t = no2g[None] * pl.reciprocal(nd, approx=True)
+            u = u0g[None] + t * w1d
+            v = v0g[None] + t * w2d
+            hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            tmin = jnp.min(jnp.where(hit, t, inf), axis=2)  # [glen, FPB]
+            out_ref[:, row:row + glen] = jnp.transpose(tmin, (1, 0))
+            row += glen
+
+    return kernel
+
+
 _FAN_FLAT_CACHE = {}
 
 
-def pack_fan_operands(origins, zoffs, dirs, N, F, zgroups):
+def pack_fan_operands(origins, zoffs, dirs, N, F, zgroups,
+                      dirs_dtype=jnp.bfloat16):
     """Shared operand packing for the fan kernels: returns (origs [N, 8]
     f32, dirs4 [N*F, 4]). Grouped mode packs per-group z offsets into the
-    origin row (cols 3+) and casts dirs to bf16 (they only feed the bf16
-    MXU matmul); per-ray mode carries z in the f32 direction stream."""
+    origin row (cols 3+) and casts dirs to ``dirs_dtype`` (bf16 when they
+    only feed the bf16 MXU matmul; f32 for the fused-VPU dot engine);
+    per-ray mode carries z in the f32 direction stream."""
     if zgroups is not None:
         G = len(zgroups)
         origs = jnp.concatenate(
@@ -357,7 +439,7 @@ def pack_fan_operands(origins, zoffs, dirs, N, F, zgroups):
                 jnp.zeros((N * F, 1), jnp.float32),
             ],
             axis=1,
-        ).astype(jnp.bfloat16)
+        ).astype(dirs_dtype)
     else:
         origs = jnp.concatenate(
             [origins, jnp.zeros((N, 5), jnp.float32)], axis=1
@@ -374,25 +456,32 @@ def _get_fan_flat(F: int, zgroups=None):
     tri_consts, dir_consts) -> t [N, F]; vmap flattens batch into the fan
     axis. zoffs is [N, F] per-ray z, or [N, G] per-group z when ``zgroups``
     (static run lengths summing to F) is given."""
-    ck = (F, zgroups, _interp())
+    engine = fan_engine() if zgroups is not None else "mxu"
+    ck = (F, zgroups, engine, _interp())
     if ck in _FAN_FLAT_CACHE:
         return _FAN_FLAT_CACHE[ck]
 
     FPB = FANS_PER_BLOCK
 
     F_out = -(-F // 128) * 128
-    dirs_dtype = jnp.float32 if zgroups is None else jnp.bfloat16
+    dirs_dtype = (
+        jnp.bfloat16 if (zgroups is not None and engine == "mxu")
+        else jnp.float32
+    )
 
     def call(origs, dirs, tri_consts, dir_consts):
         N = origs.shape[0]
         T = tri_consts.shape[1]
         kernel = _make_fan_kernel(F, T, zgroups=zgroups)
+        # grouped (v4) kernels vector-load origins -> VMEM; per-ray-z (v3)
+        # reads them scalarly from SMEM
+        orig_space = pltpu.VMEM if zgroups is not None else pltpu.SMEM
         out = pl.pallas_call(
             kernel,
             grid=(N // FPB,),
             in_specs=[
                 pl.BlockSpec(
-                    (FPB, 8), lambda i: (i, 0), memory_space=pltpu.SMEM
+                    (FPB, 8), lambda i: (i, 0), memory_space=orig_space
                 ),
                 pl.BlockSpec(
                     (FPB * F, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -419,9 +508,18 @@ def _get_fan_flat(F: int, zgroups=None):
         N_pad = -(-max(N, 1) // FPB) * FPB
         # one fused concat per operand (strided .at[, col].set column writes
         # dominate kernel runtime otherwise)
-        origs, dirs4 = pack_fan_operands(origins, zoffs, dirs, N, F, zgroups)
+        origs, dirs4 = pack_fan_operands(origins, zoffs, dirs, N, F, zgroups,
+                                         dirs_dtype=dirs_dtype)
         origs = jnp.pad(origs, ((0, N_pad - N), (0, 0)))
         dirs4 = jnp.pad(dirs4, ((0, (N_pad - N) * F), (0, 0)))
+        if zgroups is not None:
+            # v4 ray-major block layout: row = ray_idx * FPB + fan (fuses
+            # into the elementwise direction producers upstream)
+            dirs4 = (
+                dirs4.reshape(N_pad // FPB, FPB, F, 4)
+                .transpose(0, 2, 1, 3)
+                .reshape(N_pad * F, 4)
+            )
         out = call(origs, dirs4, tri_consts, dir_consts)
         return out[:N, :F]
 
@@ -513,6 +611,11 @@ def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
         h = (nx * ox + ny * oy + nz * oz) - nv0
         sign = jnp.where(h >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
         nd_ok = jnp.abs(nd) > 1e-9
+        # exact divide here: an approx reciprocal (2^-12 rel err) was
+        # measured to flip barycentric containment on near-tangent casts,
+        # cascading to O(1) t errors when the min falls to a different
+        # feature (parity suite caught 1.1u worst case) — unlike the fan
+        # kernels, the sphere cast has acceptance cliffs downstream of t
         t_face = (sign * rr - h) / jnp.where(nd_ok, nd, jnp.float32(1.0))
         cx = ox + t_face * dx - sign * rr * nx - v0[0]
         cy = oy + t_face * dy - sign * rr * ny - v0[1]
@@ -554,7 +657,7 @@ def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
             disc = bb * bb - aa * cc
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
             safe_a = jnp.where(jnp.abs(aa) > 1e-12, aa, jnp.float32(1.0))
-            t_cyl = (-bb - sq) / safe_a
+            t_cyl = (-bb - sq) / safe_a  # exact: s_hit range check cliffs
             s_hit = ms + t_cyl * ds
             ok = (
                 (jnp.abs(aa) > 1e-12) & (disc >= 0.0) & (t_cyl >= 0.0)

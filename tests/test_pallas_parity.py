@@ -28,6 +28,7 @@ import numpy as np
 import pytest
 
 from madrona_mp_env_tpu.ops import raycast as rc
+from madrona_mp_env_tpu.ops import raycast_pallas as rcp
 from madrona_mp_env_tpu.ops.raycast import make_tri_soup
 
 
@@ -176,9 +177,15 @@ class TestFanKernel:
 
         t_g = rc.ray_fans_vs_tris(base, zoffs, d, s, zgroups=zgroups)
         t_r = rc.ray_fans_vs_tris(base, zoffs, d, s)
-        np.testing.assert_allclose(
-            np.asarray(t_g), np.asarray(t_r), rtol=1e-5
-        )
+        if rcp.fan_engine() == "mxu":
+            # same bf16 direction dots, just hoisted: near-exact match
+            np.testing.assert_allclose(
+                np.asarray(t_g), np.asarray(t_r), rtol=1e-5
+            )
+        else:
+            # MPENV_FAN=vpu: grouped path does f32 VPU dots, the per-ray
+            # kernel bf16 MXU dots — compare both to the bound below
+            _assert_ray_parity(t_g, t_r, rel_tol=2e-2, mismatch_frac=0.01)
         # and against the dense reference sweep
         o = base[:, None, :] + jnp.stack(
             [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
