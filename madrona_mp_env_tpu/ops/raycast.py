@@ -77,6 +77,8 @@ class TriSoup(NamedTuple):
     packed: jax.Array  # [16, T] Pallas ray-kernel constants
     sc_packed: jax.Array  # [32, T] Pallas sphere-cast constants (pack_sc2_consts)
     dir_packed: jax.Array  # [16, 3T] bf16 fan-kernel direction matrix
+    # v8 fan-kernel table (defaulted: ad-hoc dense-only soups skip it)
+    dirT_packed: jax.Array = None  # [8, 3T] bf16 direction-dot matrix
 
 
 def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
@@ -84,6 +86,7 @@ def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
     from .raycast_pallas import (
         morton_sort_tris,
         pack_dir_consts,
+        pack_dir_consts8,
         pack_tri_consts,
     )
     from .raycast_cull import pack_sc2_consts
@@ -115,6 +118,9 @@ def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
         sc_packed=jnp.asarray(pack_sc2_consts(tri_verts, pad_to=padded)),
         dir_packed=jnp.asarray(
             pack_dir_consts(pack_tri_consts(tri_verts, pad_to=padded))
+        ),
+        dirT_packed=jnp.asarray(
+            pack_dir_consts8(pack_tri_consts(tri_verts, pad_to=padded))
         ),
     )
 
@@ -155,7 +161,31 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
     stream bf16 directions.
 
     TPU: fused fan kernel over per-cell candidate sets when tables are
-    given, else the dense-soup fan kernel; elsewhere the dense sweep."""
+    given, else the dense-soup fan kernel; elsewhere the dense sweep.
+
+    ``dirs`` may also be a (dx, dy, dz) tuple of [..., F] component planes
+    (with ``zoffs`` = per-group [..., G] offsets): the TPU path then feeds
+    the component-planar v6 kernel with zero host-side relayout; other
+    paths stack the components."""
+    components = isinstance(dirs, (tuple, list))
+    if components:
+        assert zgroups is not None
+        aligned = all(g % 8 == 0 for g in zgroups)
+        if (use_pallas() and aligned
+                and not (tables is not None and cells is not None
+                         and use_culling())):
+            from .raycast_pallas import ray_fans_vs_tris_planar
+
+            return ray_fans_vs_tris_planar(
+                origins, zoffs, dirs, soup, t_max, zgroups=zgroups
+            )
+        # fallback paths consume stacked [..., F, 3] dirs + per-ray zoffs
+        dirs = jnp.stack(dirs, axis=-1)
+        reps = np.asarray(zgroups)
+        zoffs = jnp.repeat(
+            zoffs, jnp.asarray(reps), axis=-1,
+            total_repeat_length=int(reps.sum()),
+        )
     if use_pallas():
         zg = None
         if zgroups is not None:

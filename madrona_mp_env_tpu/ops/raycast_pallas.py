@@ -255,6 +255,11 @@ def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK,
     the direction stream needs no per-ray z column (bf16 [F*fpb, 4])."""
     grouped = zgroups is not None
     if grouped:
+        if all(g % 8 == 0 for g in zgroups):
+            return _make_fan_kernel_v5(F, T, fpb, zgroups,
+                                       engine=fan_engine())
+        # odd group sizes (tiny team configs) keep the ray-major layout,
+        # whose segments don't need sublane-aligned group boundaries
         return _make_fan_kernel_v4(F, T, fpb, zgroups, engine=fan_engine())
 
     def kernel(orig_ref, dirs_ref, tri_ref, dirmat_ref, out_ref):
@@ -344,6 +349,272 @@ def fan_engine() -> str:
     paper the fused-VPU variant's extra 9 fma/pair is cheaper than that
     matmul. Both kept for on-chip A/B."""
     return os.environ.get("MPENV_FAN", "mxu")
+
+
+def pack_dir_consts8(tri_consts: np.ndarray) -> np.ndarray:
+    """[16, T] ray constants -> [8, 3T] bf16 direction-dot matrix for the
+    v8 kernel's lhs-transposed MXU matmul dd[rays, 3T] = d2^T @ this
+    (rows 0-2 = n|w1|w2 xyz, rows 3-7 zero)."""
+    T = tri_consts.shape[1]
+    out = np.zeros((8, 3 * T), np.float32)
+    out[0:3, 0:T] = tri_consts[_NX:_NZ + 1]
+    out[0:3, T:2 * T] = tri_consts[_W1X:_W1Z + 1]
+    out[0:3, 2 * T:3 * T] = tri_consts[_W2X:_W2Z + 1]
+    return out.astype(jnp.bfloat16)
+
+
+def _make_fan_kernel_v8(F: int, T: int, fpb: int, zgroups):
+    """Planar-operand fan kernel: v5's epilogue (z-group hoisting, ray-major
+    [fpb, F, 3T] frames, bf16 MXU direction dots) fed from a component-
+    planar [4, N*F] bf16 direction stream instead of the interleaved
+    [N*F, 4] one. dot_general contracts the stream's MAJOR dim directly
+    (the systolic array loads either orientation), so:
+
+      * the operand is the producers' natural [N, F] planes flattened —
+        full 128-lane tiles, ~10 MB vs the 655 MB the 4-wide-minor stream
+        physically occupied (XLA pads a rank-2 minor dim to 128 lanes);
+      * no host-side relayout, pad, or transpose survives — the stack of
+        the three component planes is a pure major-axis concat.
+
+    MXU tile count is identical to v5 (tiles are M x N output tiles
+    regardless of K), so the kernel keeps v5's compute profile."""
+    assert sum(zgroups) == F and len(zgroups) <= MAX_ZGROUPS
+    assert all(g % 8 == 0 for g in zgroups)
+
+    def kernel(orig_ref, d2_ref, tri_ref, dirmat_ref, out_ref):
+        # orig_ref: [FPB, 8] f32 (x y z z_g0..z_g4); d2_ref: [4, FPB*F]
+        # bf16 (rows dx dy dz 0, lanes fan-major); tri_ref: [16, T] f32;
+        # dirmat_ref: [8, 3T] bf16; out_ref: [FPB, F_out] f32
+        tc = tri_ref[:]
+        nx, ny, nz = tc[_NX:_NX + 1], tc[_NY:_NY + 1], tc[_NZ:_NZ + 1]
+        d0 = tc[_D0:_D0 + 1]
+        w1x, w1y, w1z = tc[_W1X:_W1X + 1], tc[_W1Y:_W1Y + 1], tc[_W1Z:_W1Z + 1]
+        c1 = tc[_C1:_C1 + 1]
+        w2x, w2y, w2z = tc[_W2X:_W2X + 1], tc[_W2Y:_W2Y + 1], tc[_W2Z:_W2Z + 1]
+        c2 = tc[_C2:_C2 + 1]
+
+        d2 = jnp.pad(d2_ref[:], ((0, 4), (0, 0)))  # [8, RL] bf16
+        dd = jax.lax.dot_general(
+            d2, dirmat_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RL, 3T] ray rows, fan-major
+        dd = dd.reshape(fpb, F, 3 * T)
+
+        o = orig_ref[:]
+        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # [FPB, 1]
+        no2 = d0 - (ox * nx + oy * ny + oz * nz)  # [FPB, T]
+        u0 = ox * w1x + oy * w1y + oz * w1z + c1
+        v0 = ox * w2x + oy * w2y + oz * w2z + c2
+
+        inf = jnp.float32(np.inf)
+        row = 0
+        for g, glen in enumerate(zgroups):
+            zg = o[:, 3 + g:4 + g]  # [FPB, 1]
+            no2g = (no2 - zg * nz)[:, None, :]  # [FPB, 1, T]
+            u0g = (u0 + zg * w1z)[:, None, :]
+            v0g = (v0 + zg * w2z)[:, None, :]
+            nd = dd[:, row:row + glen, 0:T]
+            w1d = dd[:, row:row + glen, T:2 * T]
+            w2d = dd[:, row:row + glen, 2 * T:3 * T]
+            # parallel rays / padding tris need no guards (t degenerates
+            # to ±inf/NaN and every compare rejects)
+            t = no2g * pl.reciprocal(nd, approx=True)
+            u = u0g + t * w1d
+            v = v0g + t * w2d
+            hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            out_ref[:, row:row + glen] = jnp.min(
+                jnp.where(hit, t, inf), axis=2
+            )
+            row += glen
+
+    return kernel
+
+
+_FAN_PLANAR_CACHE = {}
+
+
+def _get_fan_flat_planar(F: int, zgroups):
+    """custom_vmap flat entry for the component-planar v8 kernel:
+    (origins [N, 3], zg [N, G], dx/dy/dz [N, F], tri_consts [16, T],
+    dirmat8 [8, 3T]) -> t [N, F]."""
+    ck = (F, zgroups, _interp())
+    if ck in _FAN_PLANAR_CACHE:
+        return _FAN_PLANAR_CACHE[ck]
+
+    FPB = FANS_PER_BLOCK
+    F_out = -(-F // 128) * 128
+    G = len(zgroups)
+
+    def call(origs, d2, tri_consts, dirmat8):
+        N = origs.shape[0]
+        T = tri_consts.shape[1]
+        RL = FPB * F
+        kernel = _make_fan_kernel_v8(F, T, FPB, zgroups)
+        return pl.pallas_call(
+            kernel,
+            grid=(N // FPB,),
+            in_specs=[
+                pl.BlockSpec(
+                    (FPB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (4, RL), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (TRI_CONST_ROWS, T), lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, 3 * T), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (FPB, F_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((N, F_out), jnp.float32),
+            interpret=_interp(),
+        )(origs, d2, tri_consts, dirmat8)
+
+    @jax.custom_batching.custom_vmap
+    def fan_flat(origins, zg, dx, dy, dz, tri_consts, dirmat8):
+        N = origins.shape[0]
+        N_pad = -(-max(N, 1) // FPB) * FPB
+        origs = jnp.concatenate(
+            [origins, zg, jnp.zeros((N, 5 - G), jnp.float32)], axis=1
+        )
+        origs = jnp.pad(origs, ((0, N_pad - N), (0, 0)))
+        # bf16 casts happen on the full-lane [N, F] planes (no skinny-tile
+        # tax); the stack is a pure major-axis concat
+        d2 = jnp.stack(
+            [
+                dx.reshape(N * F).astype(jnp.bfloat16),
+                dy.reshape(N * F).astype(jnp.bfloat16),
+                dz.reshape(N * F).astype(jnp.bfloat16),
+                jnp.zeros((N * F,), jnp.bfloat16),
+            ],
+            axis=0,
+        )  # [4, N*F] fan-major lanes
+        d2 = jnp.pad(d2, ((0, 0), (0, (N_pad - N) * F)))
+        out = call(origs, d2, tri_consts, dirmat8)
+        return out[:N, :F]
+
+    @fan_flat.def_vmap
+    def _fan_vmap(axis_size, in_batched, origins, zg, dx, dy, dz,
+                  tri_consts, dirmat8):
+        assert not any(in_batched[5:])
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        args = [
+            bcast(x, b)
+            for x, b in zip((origins, zg, dx, dy, dz), in_batched[:5])
+        ]
+        out = fan_flat(*args, tri_consts, dirmat8)
+        return out.reshape((B, -1) + out.shape[1:]), True
+
+    _FAN_PLANAR_CACHE[ck] = fan_flat
+    return fan_flat
+
+
+def ray_fans_vs_tris_planar(origins, zg, dxyz, soup, t_max=INF,
+                            zgroups=None):
+    """Component-planar fan entry: origins [..., 3]; zg [..., G] per-group
+    origin z offsets; dxyz = (dx, dy, dz) each [..., F]. Returns t [..., F]
+    (inf on miss). Requires ``zgroups`` with all run lengths % 8 == 0
+    (the v8 kernel hoists z terms per group)."""
+    dx, dy, dz = dxyz
+    F = dx.shape[-1]
+    fan_flat = _get_fan_flat_planar(F, tuple(zgroups))
+    t = fan_flat(origins, zg, dx, dy, dz, soup.packed, soup.dirT_packed)
+    if t_max is not INF:
+        t = jnp.where(t <= t_max, t, INF)
+    return t
+
+
+def _make_fan_kernel_v5(F: int, T: int, fpb: int, zgroups, engine="mxu"):
+    """Grouped fan kernel, natural fan-major layout: the direction stream is
+    exactly ``dirs.reshape(N*F, 4)`` (row = fan * F + ray) — no host-side
+    relayout at all. In-kernel the [fpb*F, ...] arrays reshape (free,
+    major-dim split) to [fpb, F, ...] and each z-group is one full
+    [fpb, glen, T] VPU segment (glen is always a multiple of 8, so the
+    sublane dim stays aligned). The v4 ray-major layout had the same
+    full-tile epilogue but required a [N, F] -> block-transposed direction
+    stream whose HBM relayout copy cost ~0.5 ms/step at 1024 worlds —
+    more than the packing it saved."""
+    assert sum(zgroups) == F and len(zgroups) <= MAX_ZGROUPS
+    assert all(g % 8 == 0 for g in zgroups)
+
+    def kernel(orig_ref, dirs_ref, tri_ref, dirmat_ref, out_ref):
+        # orig_ref: [FPB, 8] VMEM f32 (x y z z_g0..z_g4);
+        # dirs_ref: [FPB*F, 4] natural order — bf16 (mxu) / f32 (vpu);
+        # tri_ref: [16, T] f32; dirmat_ref: [DIR_K, 3T] bf16;
+        # out_ref: [FPB, F_out] f32
+        tc = tri_ref[:]
+        nx, ny, nz = tc[_NX:_NX + 1], tc[_NY:_NY + 1], tc[_NZ:_NZ + 1]
+        d0 = tc[_D0:_D0 + 1]
+        w1x, w1y, w1z = tc[_W1X:_W1X + 1], tc[_W1Y:_W1Y + 1], tc[_W1Z:_W1Z + 1]
+        c1 = tc[_C1:_C1 + 1]
+        w2x, w2y, w2z = tc[_W2X:_W2X + 1], tc[_W2Y:_W2Y + 1], tc[_W2Z:_W2Z + 1]
+        c2 = tc[_C2:_C2 + 1]
+
+        if engine == "mxu":
+            # dirs arrive f32 and cast to bf16 HERE: a host-side bf16
+            # direction stream bought 10 MB of HBM traffic but cost a ~1 ms
+            # relayout copy (XLA reassociates the width-4 pad across the
+            # cast, leaving a [.., 3] bf16 intermediate it must re-tile)
+            db = jnp.pad(dirs_ref[:], ((0, 0), (0, DIR_K - 4))).astype(
+                jnp.bfloat16
+            )
+            dd = jnp.dot(db, dirmat_ref[:], preferred_element_type=jnp.float32)
+            dd = dd.reshape(fpb, F, 3 * T)
+        else:
+            dirs = dirs_ref[:].reshape(fpb, F, 4)
+            dxc, dyc, dzc = dirs[..., 0:1], dirs[..., 1:2], dirs[..., 2:3]
+
+        o = orig_ref[:]
+        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # [FPB, 1]
+        no2 = d0 - (ox * nx + oy * ny + oz * nz)  # [FPB, T]
+        u0 = ox * w1x + oy * w1y + oz * w1z + c1
+        v0 = ox * w2x + oy * w2y + oz * w2z + c2
+
+        inf = jnp.float32(np.inf)
+        row = 0
+        for g, glen in enumerate(zgroups):
+            zg = o[:, 3 + g:4 + g]  # [FPB, 1]
+            # z-dependent terms hoist per (fan, tri); [FPB, 1, T] broadcast
+            # along the sublane (ray) dim of the group segment
+            no2g = (no2 - zg * nz)[:, None, :]
+            u0g = (u0 + zg * w1z)[:, None, :]
+            v0g = (v0 + zg * w2z)[:, None, :]
+            if engine == "mxu":
+                nd = dd[:, row:row + glen, 0:T]
+                w1d = dd[:, row:row + glen, T:2 * T]
+                w2d = dd[:, row:row + glen, 2 * T:3 * T]
+            else:
+                dxg = dxc[:, row:row + glen]  # [FPB, glen, 1]
+                dyg = dyc[:, row:row + glen]
+                dzg = dzc[:, row:row + glen]
+                nd = dxg * nx[None] + dyg * ny[None] + dzg * nz[None]
+                w1d = dxg * w1x[None] + dyg * w1y[None] + dzg * w1z[None]
+                w2d = dxg * w2x[None] + dyg * w2y[None] + dzg * w2z[None]
+            # see v3 kernel notes: parallel rays / padding tris need no
+            # guards (t degenerates to ±inf/NaN and every compare rejects)
+            t = no2g * pl.reciprocal(nd, approx=True)
+            u = u0g + t * w1d
+            v = v0g + t * w2d
+            hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            out_ref[:, row:row + glen] = jnp.min(
+                jnp.where(hit, t, inf), axis=2
+            )  # [FPB, glen]
+            row += glen
+
+    return kernel
 
 
 def _make_fan_kernel_v4(F: int, T: int, fpb: int, zgroups, engine="mxu"):
@@ -464,8 +735,11 @@ def _get_fan_flat(F: int, zgroups=None):
     FPB = FANS_PER_BLOCK
 
     F_out = -(-F // 128) * 128
+    # the aligned-group v5 kernel casts to bf16 in-kernel (a host-side bf16
+    # stream costs a relayout copy); v4 still wants bf16 from the host
+    v5 = zgroups is not None and all(g % 8 == 0 for g in zgroups)
     dirs_dtype = (
-        jnp.bfloat16 if (zgroups is not None and engine == "mxu")
+        jnp.bfloat16 if (zgroups is not None and engine == "mxu" and not v5)
         else jnp.float32
     )
 
@@ -512,9 +786,10 @@ def _get_fan_flat(F: int, zgroups=None):
                                          dirs_dtype=dirs_dtype)
         origs = jnp.pad(origs, ((0, N_pad - N), (0, 0)))
         dirs4 = jnp.pad(dirs4, ((0, (N_pad - N) * F), (0, 0)))
-        if zgroups is not None:
-            # v4 ray-major block layout: row = ray_idx * FPB + fan (fuses
-            # into the elementwise direction producers upstream)
+        if zgroups is not None and any(g % 8 for g in zgroups):
+            # v4 ray-major block layout: row = ray_idx * FPB + fan. The
+            # aligned-group v5 kernel reads the natural order and needs no
+            # relayout (this transpose costs a full HBM copy pass).
             dirs4 = (
                 dirs4.reshape(N_pad // FPB, FPB, F, 4)
                 .transpose(0, 2, 1, 3)

@@ -17,6 +17,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import consts
 from ..config import EnvConfig, Task
@@ -142,33 +143,30 @@ def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState,
     ts = cfg.team_size
 
     los = _los_geometry(cfg, state)
-    los_dirs = los["ray_d"].reshape(A, ts * 4, 3)
+    ray_d = los["ray_d"]  # [A, ts, 4, 3]
+    # component planes: the whole sensor pipeline stays [A, F]-shaped so
+    # nothing ever materializes a [..., 3]-minor ray array (XLA pads the
+    # 3-wide minor dim to 128 lanes — a 32x physical blowup at this scale)
+    los_dx = ray_d[..., 0].reshape(A, ts * 4)
+    los_dy = ray_d[..., 1].reshape(A, ts * 4)
+    los_dz = ray_d[..., 2].reshape(A, ts * 4)
     eye_z = view_height(state.stand_cur)  # LOS origin z offset
-    los_zoff = jnp.broadcast_to(eye_z[:, None], (A, ts * 4))
 
-    fwd_dirs, fwd_z = _lidar_fan_dirs(
+    (fwd_dx, fwd_dy, fwd_dz), fwd_z = _lidar_fan_components(
         cfg, state, consts.fwd_lidar_width, consts.fwd_lidar_height,
         0.75 * consts.pi, 0.5 * (1.0 - 0.75) * consts.pi, aim_frame=True,
     )
-    rear_dirs, rear_z = _lidar_fan_dirs(
+    (rear_dx, rear_dy, rear_dz), rear_z = _lidar_fan_components(
         cfg, state, consts.rear_lidar_width, consts.rear_lidar_height,
         -consts.pi, 0.0, aim_frame=False,
     )
 
     n_fwd = consts.fwd_lidar_height * consts.fwd_lidar_width
     n_rear = consts.rear_lidar_height * consts.rear_lidar_width
-    dirs = jnp.concatenate(
-        [
-            los_dirs,
-            fwd_dirs.reshape(A, n_fwd, 3),
-            rear_dirs.reshape(A, n_rear, 3),
-        ],
-        axis=1,
-    )
-    zoffs = jnp.concatenate(
-        [los_zoff, fwd_z.reshape(A, n_fwd), rear_z.reshape(A, n_rear)],
-        axis=1,
-    )
+    dx = jnp.concatenate([los_dx, fwd_dx, rear_dx], axis=1)  # [A, F]
+    dy = jnp.concatenate([los_dy, fwd_dy, rear_dy], axis=1)
+    dz = jnp.concatenate([los_dz, fwd_dz, rear_dz], axis=1)
+    zg = jnp.concatenate([eye_z[:, None], fwd_z, rear_z], axis=1)  # [A, G]
 
     # static z-group runs: LOS rays share the eye height; each lidar row
     # shares its height (z constant along a row by construction above) —
@@ -177,32 +175,39 @@ def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState,
         (consts.fwd_lidar_width,) * consts.fwd_lidar_height
     ) + ((consts.rear_lidar_width,) * consts.rear_lidar_height)
     t = ray_fans_vs_tris(
-        state.pos, zoffs, dirs, m.tris, cells=cells, tables=m.cells,
+        state.pos, zg, (dx, dy, dz), m.tris, cells=cells, tables=m.cells,
         zgroups=zgroups,
-    )
-
-    o = state.pos[:, None, :] + jnp.stack(
-        [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
     )
 
     # capsule sweep for every sensor ray in one pass (self always excluded —
     # both the LOS and lidar paths skip the caster's own capsule)
-    F_total = dirs.shape[1]
-    self_idx = jnp.broadcast_to(
-        jnp.arange(A, dtype=jnp.int32)[:, None], (A, F_total)
-    )
+    F_total = dx.shape[1]
     alive = state.alive > 0.0
     seg_h = consts.stand_height - 2.0 * consts.agent_radius
     from ..ops.raycast import use_pallas
 
+    reps = np.asarray(zgroups)
     if use_pallas():
-        from ..ops.raycast_cull import fan_capsules
+        from ..ops.raycast_cull import fan_capsules_planar
 
-        t_cap, cap_idx = fan_capsules(
-            o, dirs, self_idx, state.pos, alive,
+        zoff_ray = jnp.repeat(
+            zg, jnp.asarray(reps), axis=-1, total_repeat_length=F_total
+        )  # [A, F]
+        t_cap, cap_idx = fan_capsules_planar(
+            state.pos, zoff_ray, (dx, dy, dz), alive,
             consts.agent_radius, seg_h,
         )
     else:
+        zoffs = jnp.repeat(
+            zg, jnp.asarray(reps), axis=-1, total_repeat_length=F_total
+        )
+        dirs = jnp.stack([dx, dy, dz], axis=-1)  # [A, F, 3]
+        o = state.pos[:, None, :] + jnp.stack(
+            [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
+        )
+        self_idx = jnp.broadcast_to(
+            jnp.arange(A, dtype=jnp.int32)[:, None], (A, F_total)
+        )
         t_caps = ray_vs_capsules(
             o, dirs, state.pos, consts.agent_radius, seg_h, alive
         )  # [A, F, A]
@@ -227,11 +232,42 @@ def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState,
         "los_cap_idx": cap_idx[:, :s0].reshape(A, ts, 4),
         "fwd_cap_idx": cap_idx[:, s0:s1].reshape(A, H_f, W_f),
         "rear_cap_idx": cap_idx[:, s1:].reshape(A, H_r, W_r),
-        "fwd_dirs": fwd_dirs,
-        "rear_dirs": rear_dirs,
-        "fwd_o": o[:, s0:s1].reshape(A, H_f, W_f, 3),
-        "rear_o": o[:, s1:].reshape(A, H_r, W_r, 3),
     }
+
+
+def _lidar_fan_components(cfg, state, n_w, n_h, theta_range, theta_offset,
+                          aim_frame):
+    """Lidar beam direction components (dx, dy, dz each [A, H*W], rays
+    H-major) + per-row origin z offsets [A, H]. Componentwise so the fused
+    sensor fan never materializes a [..., 3]-minor array (XLA pads a rank-N
+    3-minor f32 array to 128 lanes — a 32x physical blowup on the ray
+    stream). Values match _lidar_fan_dirs bit for bit."""
+    A = cfg.num_agents
+    if aim_frame:
+        fwd, right, _ = geom.aim_vectors(state.yaw, state.pitch)
+    else:
+        fwd, right = geom.body_fwd_right(state.yaw)
+
+    idx = jnp.arange(n_w, dtype=jnp.float32)
+    theta = theta_range * (idx / (n_w - 1)) + theta_offset  # [W]
+    x = -jnp.cos(theta)
+    y = jnp.sin(theta)
+    ux = x[None, :] * right[:, 0:1] + y[None, :] * fwd[:, 0:1]  # [A, W]
+    uy = x[None, :] * right[:, 1:2] + y[None, :] * fwd[:, 1:2]
+    uz = x[None, :] * right[:, 2:3] + y[None, :] * fwd[:, 2:3]
+    # geom.normalize(eps=0.0) semantics, division kept bit-identical
+    n = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+    nm = jnp.maximum(n, 1e-30)
+    ok = n > 0.0
+    dx = jnp.tile(jnp.where(ok, ux / nm, 0.0), (1, n_h))  # [A, H*W]
+    dy = jnp.tile(jnp.where(ok, uy / nm, 0.0), (1, n_h))
+    dz = jnp.tile(jnp.where(ok, uz / nm, 0.0), (1, n_h))
+
+    top_height = view_height(state.stand_cur) + consts.agent_radius
+    h_range = top_height - 2.0 * consts.agent_radius
+    hs = jnp.arange(n_h, dtype=jnp.float32) / (n_h - 1)  # [H]
+    z = consts.agent_radius + h_range[:, None] * hs[None, :]  # [A, H]
+    return (dx, dy, dz), z
 
 
 def _lidar_fan_dirs(cfg, state, n_w, n_h, theta_range, theta_offset,
@@ -620,15 +656,12 @@ def lidar_system(cfg: EnvConfig, m: MapData, state: WorldState, sensor=None):
     teams = jnp.arange(A, dtype=jnp.int32) // cfg.team_size
     max_dist = m.max_dist
 
-    def fan(o, db, t_world, cap_t=None, cap_idx=None):
-        n_h, n_w = db.shape[1], db.shape[2]
-        self_idx = jnp.broadcast_to(
-            jnp.arange(A)[:, None, None], (A, n_h, n_w)
-        )
-        t, hit_agent = _trace_world_and_agents(
-            m, o, db, state.pos, state.alive > 0.0, self_idx,
-            t_world=t_world, t_cap=cap_t, cap_idx=cap_idx,
-        )
+    def fan(t_world, cap_t, cap_idx):
+        # combine precomputed world + capsule hits (the fused sensor sweep
+        # already traced every beam; see build_sensor_rays)
+        cap_first = cap_t < t_world
+        t = jnp.minimum(t_world, cap_t)
+        hit_agent = jnp.where(cap_first, cap_idx, -1)
         hit = ~jnp.isinf(t)
         depth = jnp.where(hit, jnp.minimum(t, max_dist), -1.0)
         is_wall = hit & (hit_agent == -1)
@@ -649,12 +682,10 @@ def lidar_system(cfg: EnvConfig, m: MapData, state: WorldState, sensor=None):
         sensor = build_sensor_rays(cfg, m, state)
 
     fwd_lidar = fan(
-        sensor["fwd_o"], sensor["fwd_dirs"], sensor["fwd_t"],
-        sensor["fwd_cap_t"], sensor["fwd_cap_idx"],
+        sensor["fwd_t"], sensor["fwd_cap_t"], sensor["fwd_cap_idx"]
     )
     rear_lidar = fan(
-        sensor["rear_o"], sensor["rear_dirs"], sensor["rear_t"],
-        sensor["rear_cap_t"], sensor["rear_cap_idx"],
+        sensor["rear_t"], sensor["rear_cap_t"], sensor["rear_cap_idx"]
     )
 
     state = state.replace(prev_fwd_depth=fwd_lidar[..., 0])

@@ -185,62 +185,115 @@ def spawn_agents(
         yaw = spawn_row[6] + u4[3] * (spawn_row[7] - spawn_row[6])
         return pt, yaw
 
-    def body(carry: _SpawnCarry, xs):
-        i, cand_u, box_u = xs
+    # The selection loop is unrolled in *Python* so every per-agent index is
+    # a compile-time constant: the old lax.scan(unroll=A) carried traced
+    # agent indices, so each table lookup lowered to a tiny serialized
+    # gather and each carry commit to a dynamic-update-slice (~12% of step
+    # time at 1024 worlds). Here every lookup/commit is one-hot algebra on
+    # the small tables ([2, Ns] boxes, [Nc] respawns) that XLA fuses flat.
+    ns = m.side_spawns.shape[1]
+    ns_full = state.spawn_a_used.shape[0]  # usage tables are padded wider
+    agent_iota = jnp.arange(A, dtype=jnp.int32)
+    ns_iota = jnp.arange(ns_full, dtype=jnp.int32)
+
+    pos_c = state.pos
+    alive_c = state.alive
+    side_used_c = jnp.stack([state.spawn_a_used, state.spawn_b_used])
+    respawn_used_c = state.spawn_respawn_used
+
+    respawn_scored = is_respawn and m.num_common_respawns > 0
+    if respawn_scored:
+        # spawn-box-to-agent distances, columns updated as agents respawn
+        # (an agent's position only changes at its own iteration, so this
+        # matches the reference's fresh per-agent recompute)
+        d_mat = jnp.linalg.norm(
+            centers[:, None, :] - pos_c[None, :, :], axis=-1
+        )  # [Nc, A]
+        dist_zone = jnp.linalg.norm(centers - zone_center, axis=-1)
+        zone_bonus = jnp.where(dist_zone < 100.0, 1000000.0, 0.0)  # [Nc]
+
+    pts_l, yaws_l = [], []
+    for i in range(A):
         team = teams[i]
         side = side_all[i]
+        is_a = side == 0
+        box_u = u_box[i]
 
-        if is_respawn and m.num_common_respawns > 0:
+        if respawn_scored:
             # respawn scoring (standardSpawnPoint respawn path,
             # utils.cpp:391-479)
-            used = carry.respawn_used[:nc]
+            used = respawn_used_c[:nc]
             used_now = used == cur_step_u32
             elapsed = jnp.floor(
                 consts.delta_t * (cur_step_u32 - used).astype(jnp.float32)
             )
             score = jnp.where(elapsed < 3.0, 0.1 * (3.0 - elapsed), 0.0)
-            d = jnp.linalg.norm(
-                centers[:, None, :] - carry.pos[None, :, :], axis=-1
-            )  # [Nc, A]
-            others = (carry.alive > 0.0) & (jnp.arange(A) != i)
-            near = d < 4.0 * consts.agent_radius
+            others = (alive_c > 0.0) & (agent_iota != i)
+            near = d_mat < 4.0 * consts.agent_radius
             opp = teams != team
             per_agent = jnp.where(
                 near, 100000.0,
-                jnp.where(opp, 0.01 / jnp.maximum(d, 1e-6), 0.0),
+                jnp.where(opp, 0.01 / jnp.maximum(d_mat, 1e-6), 0.0),
             )
             score = score + jnp.sum(
                 jnp.where(others[None, :], per_agent, 0.0), axis=-1
             )
-            dist_zone = jnp.linalg.norm(centers - zone_center, axis=-1)
-            score = score + jnp.where(dist_zone < 100.0, 1000000.0, 0.0)
+            score = score + zone_bonus
             score = jnp.where(used_now, _BIG, score)
             best = jnp.argmin(score)
-            pt, yaw = sample_in_spawn(box_u, rows[best])
-            respawn_used = carry.respawn_used.at[best].set(cur_step_u32)
-            side_used = carry.side_used
+            best_oh = jnp.arange(nc) == best  # [Nc]
+            spawn_row = jnp.sum(
+                jnp.where(best_oh[:, None], rows, 0.0), axis=0
+            )  # [8]
+            pt, yaw = sample_in_spawn(box_u, spawn_row)
+            respawn_used = jnp.where(
+                jnp.arange(respawn_used_c.shape[0]) == best, cur_step_u32,
+                respawn_used_c,
+            )
+            side_used = side_used_c
         else:
             # initial spawn with usage-recency retry
             # (standardSpawnPoint init path, utils.cpp:340-389)
-            offset = jnp.where(use_middle, n_def[side], 0)
-            count = jnp.maximum(
-                jnp.where(use_middle, n_extra[side], n_def[side]), 1
-            )
+            cand_u = u_cand[i]
+            nd_s = jnp.where(is_a, n_def[0], n_def[1])
+            ne_s = jnp.where(is_a, n_extra[0], n_extra[1])
+            offset = jnp.where(use_middle, nd_s, 0)
+            count = jnp.maximum(jnp.where(use_middle, ne_s, nd_s), 1)
             cands = offset + jnp.minimum(
                 (cand_u * count.astype(jnp.float32)).astype(jnp.int32),
                 count - 1,
             )  # [6]
-            usage = carry.side_used[side]
-            valid = usage[cands[:5]] != cur_step_u32
+            usage = jnp.where(is_a, side_used_c[0], side_used_c[1])  # [Ns]
+            used_now = usage == cur_step_u32
+            cand_used = jnp.any(
+                (cands[:, None] == ns_iota[None, :]) & used_now[None, :],
+                axis=-1,
+            )  # [6]
+            valid = ~cand_used[:5]
             any_valid = jnp.any(valid)
-            first_valid = jnp.argmax(valid)
-            chosen = jnp.where(any_valid, cands[first_valid], cands[5])
-            spawn_row = m.side_spawns[
-                side, jnp.clip(chosen, 0, m.side_spawns.shape[1] - 1)
-            ]
+            first_oh = jnp.arange(5) == jnp.argmax(valid)
+            chosen = jnp.where(
+                any_valid, jnp.sum(jnp.where(first_oh, cands[:5], 0)),
+                cands[5],
+            )
+            # read clips out-of-range candidates to the last row; the
+            # usage write drops them (the reference's scatter is a no-op
+            # out of bounds) — hence two separate one-hots
+            read_oh = ns_iota[:ns] == jnp.clip(chosen, 0, ns - 1)
+            write_oh = ns_iota == chosen
+            side_rows = jnp.where(
+                is_a, m.side_spawns[0], m.side_spawns[1]
+            )  # [Ns, 8]
+            spawn_row = jnp.sum(
+                jnp.where(read_oh[:, None], side_rows, 0.0), axis=0
+            )
             pt, yaw = sample_in_spawn(box_u, spawn_row)
-            side_used = carry.side_used.at[side, chosen].set(cur_step_u32)
-            respawn_used = carry.respawn_used
+            side_oh = jnp.arange(2) == side
+            side_used = jnp.where(
+                side_oh[:, None] & write_oh[None, :], cur_step_u32,
+                side_used_c,
+            )
+            respawn_used = respawn_used_c
 
         # override chain (vectorized values precomputed above)
         if enable_curriculum:
@@ -261,27 +314,23 @@ def spawn_agents(
             )
 
         do = dead[i]
-        carry = _SpawnCarry(
-            pos=carry.pos.at[i].set(jnp.where(do, pt, carry.pos[i])),
-            alive=carry.alive.at[i].set(jnp.where(do, 1.0, carry.alive[i])),
-            side_used=jnp.where(do, side_used, carry.side_used),
-            respawn_used=jnp.where(do, respawn_used, carry.respawn_used),
-        )
-        return carry, (pt, yaw)
+        commit = do & (agent_iota == i)  # static one-hot mask
+        pos_c = jnp.where(commit[:, None], pt[None, :], pos_c)
+        alive_c = jnp.where(commit, 1.0, alive_c)
+        side_used_c = jnp.where(do, side_used, side_used_c)
+        respawn_used_c = jnp.where(do, respawn_used, respawn_used_c)
+        if respawn_scored:
+            d_col = jnp.linalg.norm(centers - pt[None, :], axis=-1)  # [Nc]
+            d_mat = jnp.where(commit[None, :], d_col[:, None], d_mat)
+        pts_l.append(pt)
+        yaws_l.append(yaw)
 
-    carry0 = _SpawnCarry(
-        pos=state.pos,
-        alive=state.alive,
-        side_used=jnp.stack([state.spawn_a_used, state.spawn_b_used]),
-        respawn_used=state.spawn_respawn_used,
+    carry = _SpawnCarry(
+        pos=pos_c, alive=alive_c, side_used=side_used_c,
+        respawn_used=respawn_used_c,
     )
-    # fully unrolled: A is small and static; unrolling turns the per-agent
-    # dynamic-slice carries into static-index updates XLA fuses across
-    # iterations (the rolled while-loop costs ~3x more)
-    carry, (pts, yaws) = jax.lax.scan(
-        body, carry0, (jnp.arange(A, dtype=jnp.int32), u_cand, u_box),
-        unroll=A,
-    )
+    pts = jnp.stack(pts_l)
+    yaws = jnp.stack(yaws_l)
 
     # ---- vectorized bookkeeping (utils.cpp:844-946) ----
     weapon = weapon_all
