@@ -512,14 +512,14 @@ def build_cell_tables(
 def pack_tables(raw: dict, tri_verts: np.ndarray) -> CellTables:
     """Host dict -> device CellTables (per-cell packed kernel constants)."""
     from .raycast_pallas import pack_dir_consts, pack_tri_consts
-    from .raycast_cull import pack_sc2_consts
+    from .raycast_cull import SC2_ROWS, pack_sc2_consts
 
     tv = np.asarray(tri_verts, np.float32)
     cand_idx = raw["cand_idx"]
     C, K = cand_idx.shape
 
     ray_p = np.zeros((C, 16, K), np.float32)
-    sc_p = np.zeros((C, 32, K), np.float32)
+    sc_p = np.zeros((C, SC2_ROWS, K), np.float32)
     for c in range(C):
         ids = cand_idx[c][cand_idx[c] >= 0]
         if len(ids) == 0:

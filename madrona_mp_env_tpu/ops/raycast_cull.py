@@ -30,20 +30,25 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .raycast_pallas import _interp
+from .raycast_pallas import _interp, SC2_ROWS
 
 INF = jnp.inf
 
 # ---------------------------------------------------------------------------
-# Packed sphere-cast constants v2: all per-triangle derived terms hoisted to
+# Packed sphere-cast constants v3: all per-triangle derived terms hoisted to
 # the host so the kernel's per-pair work (and live-register count) shrinks.
-# Rows of the [32, T] matrix:
+# Contact-point containment is an affine function of the contact point
+# (barycentric row vectors w1/w2, like the ray kernel) instead of the
+# two-dot Cramer solve — together with precomputed inverse edge lengths
+# this removes ~45 VPU ops and 3 divides per (cast, tri) pair.
+# Rows of the [40, T] matrix:
 #   0-2  v0        3-5  e1        6-8  e2       9-11 unit normal
-#   12   valid     13   d00       14   d01      15   d11
-#   16   inv_den   17-19 v1       20-22 v2      23-25 e12 (e2-e1)
-#   26   l12 (|e12|^2)            27   n.v0 (plane offset)
+#   12   valid     13   d00       14   d11      15   l12 (|e12|^2)
+#   16-18 v1       19-21 v2       22-24 e12 (e2-e1)
+#   25   1/d00     26   1/d11     27   1/l12
+#   28-30 w1       31   c1        32-34 w2      35   c2
+#   36   w1.n      37   w2.n      38   n.v0 (plane offset)
 # ---------------------------------------------------------------------------
-SC2_ROWS = 32
 
 
 def pack_sc2_consts(tri_verts: np.ndarray, pad_to: int = 128) -> np.ndarray:
@@ -61,8 +66,17 @@ def pack_sc2_consts(tri_verts: np.ndarray, pad_to: int = 128) -> np.ndarray:
     d01 = np.sum(e1 * e2, axis=-1)
     d11 = np.sum(e2 * e2, axis=-1)
     den = d00 * d11 - d01 * d01
-    inv_den = np.where(np.abs(den) > 1e-20, 1.0 / np.where(den == 0, 1, den), 0.0)
+    inv_den = np.where(
+        np.abs(den) > 1e-20, 1.0 / np.where(den == 0, 1, den), 0.0
+    )
     e12 = e2 - e1
+    l12 = np.sum(e12 * e12, axis=-1)
+    # barycentric affine rows: bv(x) = w1.x + c1, bw(x) = w2.x + c2
+    w1 = (d11[:, None] * e1 - d01[:, None] * e2) * inv_den[:, None]
+    w2 = (d00[:, None] * e2 - d01[:, None] * e1) * inv_den[:, None]
+
+    def safe_inv(x):
+        return np.where(np.abs(x) > 1e-20, 1.0 / np.where(x == 0, 1, x), 0.0)
 
     out = np.zeros((SC2_ROWS, T), np.float32)
     out[0:3] = v0.T
@@ -71,14 +85,21 @@ def pack_sc2_consts(tri_verts: np.ndarray, pad_to: int = 128) -> np.ndarray:
     out[9:12] = n.T
     out[12] = ((np.arange(T) < t) & (ln[:, 0] > 1e-20)).astype(np.float32)
     out[13] = d00
-    out[14] = d01
-    out[15] = d11
-    out[16] = inv_den
-    out[17:20] = (v0 + e1).T
-    out[20:23] = (v0 + e2).T
-    out[23:26] = e12.T
-    out[26] = np.sum(e12 * e12, axis=-1)
-    out[27] = np.sum(n * v0, axis=-1)
+    out[14] = d11
+    out[15] = l12
+    out[16:19] = (v0 + e1).T
+    out[19:22] = (v0 + e2).T
+    out[22:25] = e12.T
+    out[25] = safe_inv(d00)
+    out[26] = safe_inv(d11)
+    out[27] = safe_inv(l12)
+    out[28:31] = w1.T
+    out[31] = -np.sum(w1 * v0, axis=-1)
+    out[32:35] = w2.T
+    out[35] = -np.sum(w2 * v0, axis=-1)
+    out[36] = np.sum(w1 * n, axis=-1)
+    out[37] = np.sum(w2 * n, axis=-1)
+    out[38] = np.sum(n * v0, axis=-1)
     return out
 
 
@@ -274,19 +295,23 @@ def _make_sc_cull_kernel(CPA: int, K: int, r: float):
         rays = rays_ref[:]  # [AGB*CPA, 8]
         inf = jnp.float32(np.inf)
         for a in range(AGB):
-            tc = cand_refs[a][0]  # [32, K]
+            tc = cand_refs[a][0]  # [SC2_ROWS, K] pack_sc2_consts v3 layout
             v0 = (tc[0:1], tc[1:2], tc[2:3])
             e1 = (tc[3:4], tc[4:5], tc[5:6])
             e2 = (tc[6:7], tc[7:8], tc[8:9])
             nx, ny, nz = tc[9:10], tc[10:11], tc[11:12]
             valid = tc[12:13] > 0.0
-            d00, d01, d11 = tc[13:14], tc[14:15], tc[15:16]
-            inv_den = tc[16:17]
-            v1 = (tc[17:18], tc[18:19], tc[19:20])
-            v2 = (tc[20:21], tc[21:22], tc[22:23])
-            e12 = (tc[23:24], tc[24:25], tc[25:26])
-            l12 = tc[26:27]
-            nv0 = tc[27:28]
+            d00, d11, l12 = tc[13:14], tc[14:15], tc[15:16]
+            v1 = (tc[16:17], tc[17:18], tc[18:19])
+            v2 = (tc[19:20], tc[20:21], tc[21:22])
+            e12 = (tc[22:23], tc[23:24], tc[24:25])
+            inv_d00, inv_d11, inv_l12 = tc[25:26], tc[26:27], tc[27:28]
+            w1 = (tc[28:29], tc[29:30], tc[30:31])
+            c1 = tc[31:32]
+            w2 = (tc[32:33], tc[33:34], tc[34:35])
+            c2 = tc[35:36]
+            w1n, w2n = tc[36:37], tc[37:38]
+            nv0 = tc[38:39]
 
             sl = slice(a * CPA, (a + 1) * CPA)
             ox, oy, oz = rays[sl, 0:1], rays[sl, 1:2], rays[sl, 2:3]
@@ -294,45 +319,41 @@ def _make_sc_cull_kernel(CPA: int, K: int, r: float):
 
             # face: ray vs plane offset by r toward the sphere, contact
             # barycentrics inside (sphereCastTriangle face case,
-            # reference src/mesh_bvh.inl)
+            # reference src/mesh_bvh.inl); barycentrics are affine in the
+            # contact point (w1/w2 rows) — same math as the dense kernel
             nd = nx * dx + ny * dy + nz * dz  # [CPA, K]
             h = (nx * ox + ny * oy + nz * oz) - nv0
+            u0 = w1[0] * ox + w1[1] * oy + w1[2] * oz + c1
+            v0b = w2[0] * ox + w2[1] * oy + w2[2] * oz + c2
+            w1d = w1[0] * dx + w1[1] * dy + w1[2] * dz
+            w2d = w2[0] * dx + w2[1] * dy + w2[2] * dz
+            rw1n = rr * w1n
+            rw2n = rr * w2n
             sign = jnp.where(h >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
             nd_ok = jnp.abs(nd) > 1e-9
             t_face = (sign * rr - h) / jnp.where(nd_ok, nd, jnp.float32(1.0))
-            cx = ox + t_face * dx - sign * rr * nx - v0[0]
-            cy = oy + t_face * dy - sign * rr * ny - v0[1]
-            cz = oz + t_face * dz - sign * rr * nz - v0[2]
-            d20 = cx * e1[0] + cy * e1[1] + cz * e1[2]
-            d21 = cx * e2[0] + cy * e2[1] + cz * e2[2]
-            bv = (d11 * d20 - d01 * d21) * inv_den
-            bw = (d00 * d21 - d01 * d20) * inv_den
+            bv = u0 + t_face * w1d - sign * rw1n
+            bw = v0b + t_face * w2d - sign * rw2n
             face_ok = (
                 nd_ok & (t_face >= 0.0) & (bv >= 0.0) & (bw >= 0.0)
                 & (bv + bw <= 1.0)
             )
             t_face = jnp.where(face_ok, t_face, inf)
 
-            # start-overlap, face region
-            px = ox - h * nx - v0[0]
-            py = oy - h * ny - v0[1]
-            pz = oz - h * nz - v0[2]
-            p20 = px * e1[0] + py * e1[1] + pz * e1[2]
-            p21 = px * e2[0] + py * e2[1] + pz * e2[2]
-            pv = (d11 * p20 - d01 * p21) * inv_den
-            pw = (d00 * p21 - d01 * p20) * inv_den
+            # start-overlap, face region (plane projection p = o - h n)
+            pv = u0 - h * w1n
+            pw = v0b - h * w2n
             overlap = (
                 (jnp.abs(h) <= rr) & (pv >= 0.0) & (pw >= 0.0)
                 & (pv + pw <= 1.0)
             )
 
-            def capsule(p0, sx, sy, sz, len2):
+            def capsule(p0, sx, sy, sz, len2, inv_l2):
                 mx, my, mz = ox - p0[0], oy - p0[1], oz - p0[2]
                 md = mx * dx + my * dy + mz * dz
                 ms = mx * sx + my * sy + mz * sz
                 ds = dx * sx + dy * sy + dz * sz
                 mm = mx * mx + my * my + mz * mz
-                inv_l2 = 1.0 / jnp.maximum(len2, 1e-20)
                 aa = 1.0 - ds * ds * inv_l2
                 bb = md - ms * ds * inv_l2
                 cc = mm - ms * ms * inv_l2 - rr * rr
@@ -358,12 +379,12 @@ def _make_sc_cull_kernel(CPA: int, K: int, r: float):
                 ok = (disc >= 0.0) & (ts >= 0.0)
                 return jnp.where(ok, ts, inf), cc <= 0.0
 
-            t_edge, in0 = capsule(v0, e1[0], e1[1], e1[2], d00)
+            t_edge, in0 = capsule(v0, e1[0], e1[1], e1[2], d00, inv_d00)
             overlap = overlap | in0
-            t_e, in1 = capsule(v0, e2[0], e2[1], e2[2], d11)
+            t_e, in1 = capsule(v0, e2[0], e2[1], e2[2], d11, inv_d11)
             t_edge = jnp.minimum(t_edge, t_e)
             overlap = overlap | in1
-            t_e, in2 = capsule(v1, e12[0], e12[1], e12[2], l12)
+            t_e, in2 = capsule(v1, e12[0], e12[1], e12[2], l12, inv_l12)
             t_edge = jnp.minimum(t_edge, t_e)
             overlap = overlap | in2
             for c in (v0, v1, v2):
@@ -721,6 +742,88 @@ def _get_cap_flat(A: int, F: int, radius: float, seg_h: float):
     return cap_flat
 
 
+_CAP_PLANAR_CACHE = {}
+
+
+def _get_cap_flat_planar(A: int, F: int, radius: float, seg_h: float):
+    ck = (A, F, radius, seg_h, _interp())
+    if ck in _CAP_PLANAR_CACHE:
+        return _CAP_PLANAR_CACHE[ck]
+
+    AF = A * F
+    AF_pad = -(-AF // 128) * 128
+
+    def _run(pos, zoff, dx, dy, dz, alive):
+        W = pos.shape[0]
+        shape = (W, A, F)
+        ox = jnp.broadcast_to(pos[:, :, 0:1], shape).reshape(W, AF)
+        oy = jnp.broadcast_to(pos[:, :, 1:2], shape).reshape(W, AF)
+        oz = (pos[:, :, 2:3] + zoff).reshape(W, AF)
+        self_f = jnp.broadcast_to(
+            jnp.arange(A, dtype=jnp.float32)[None, :, None], shape
+        ).reshape(W, AF)
+        rays = jnp.stack(
+            [
+                ox, oy, oz,
+                dx.reshape(W, AF), dy.reshape(W, AF), dz.reshape(W, AF),
+                self_f, jnp.zeros((W, AF), jnp.float32),
+            ],
+            axis=1,
+        )  # [W, 8, AF]
+        rays = jnp.pad(rays, ((0, 0), (0, 0), (0, AF_pad - AF)))
+
+        caps = jnp.concatenate(
+            [pos, alive.astype(jnp.float32)[..., None]], axis=-1
+        )  # [W, A, 4]
+        caps = jnp.pad(caps, ((0, 0), (0, _CAP_ROWS - A), (0, 4)))
+
+        call = _get_cap_kernel(AF_pad, A, radius, seg_h)
+        t, idx = call(rays, caps)
+        t = t[:, 0, :AF].reshape(W, A, F)
+        idx = idx[:, 0, :AF].reshape(W, A, F)
+        return t, idx
+
+    @jax.custom_batching.custom_vmap
+    def cap_flat(pos, zoff, dx, dy, dz, alive):
+        """Single world: pos [A, 3], zoff/dx/dy/dz [A, F], alive [A] ->
+        (t [A, F], idx [A, F]); the caster's own capsule is excluded."""
+        t, idx = _run(
+            pos[None], zoff[None], dx[None], dy[None], dz[None], alive[None]
+        )
+        return t[0], idx[0]
+
+    @cap_flat.def_vmap
+    def _vmap(axis_size, in_batched, pos, zoff, dx, dy, dz, alive):
+        W = axis_size
+
+        def bc(x, batched):
+            if batched:
+                return x
+            return jnp.broadcast_to(x[None], (W,) + x.shape)
+
+        t, idx = _run(*[
+            bc(x, b) for x, b in zip(
+                (pos, zoff, dx, dy, dz, alive), in_batched
+            )
+        ])
+        return (t, idx), (True, True)
+
+    _CAP_PLANAR_CACHE[ck] = cap_flat
+    return cap_flat
+
+
+def fan_capsules_planar(pos, zoff, dxyz, alive, radius, seg_h):
+    """Component-planar fan_capsules: per world pos [A, 3], zoff [A, F]
+    (per-ray origin z offset above pos), dxyz = (dx, dy, dz) each [A, F],
+    alive [A] bool. Self capsule always excluded. Returns (t [A, F],
+    hit_idx [A, F], -1 on miss). Avoids the [A, F, 3]-minor operand build
+    of ``fan_capsules`` (XLA pads 3-minor arrays to 128 lanes)."""
+    dx, dy, dz = dxyz
+    A, F = dx.shape[-2], dx.shape[-1]
+    cap = _get_cap_flat_planar(A, F, float(radius), float(seg_h))
+    return cap(pos, zoff, dx, dy, dz, alive)
+
+
 def fan_capsules(o, dirs, self_idx, cap_pos, alive, radius, seg_h):
     """Sensor rays vs the world's agent capsules, one world per grid step.
 
@@ -871,9 +974,11 @@ def _get_fan_sorted(F: int, K: int, zgroups=None):
 
         from .raycast_pallas import fan_engine
 
+        v5 = zgroups is not None and all(g % 8 == 0 for g in zgroups)
         dirs_dtype = (
             jnp.bfloat16
-            if (zgroups is None or fan_engine() == "mxu") else jnp.float32
+            if ((zgroups is None or fan_engine() == "mxu") and not v5)
+            else jnp.float32
         )
         origins8, dirs4 = pack_fan_operands(
             origins, zoffs, dirs, N, F, zgroups, dirs_dtype=dirs_dtype
@@ -882,8 +987,9 @@ def _get_fan_sorted(F: int, K: int, zgroups=None):
         dirs_p = jnp.zeros((S, F, 4), dirs4.dtype).at[slot].set(
             dirs4.reshape(N, F, 4)
         )
-        if zgroups is not None:
-            # v4 ray-major block layout: row = ray_idx * FPB + fan
+        if zgroups is not None and any(g % 8 for g in zgroups):
+            # v4 ray-major block layout: row = ray_idx * FPB + fan (the
+            # aligned-group v5 kernel reads natural fan-major order)
             dirs_p = dirs_p.reshape(S // FPB, FPB, F, 4).transpose(0, 2, 1, 3)
         dirs_p = dirs_p.reshape(S * F, 4)
         out = call(block_cell, origs, dirs_p, ray_table, dir_table)

@@ -49,6 +49,7 @@ _W1X, _W1Y, _W1Z, _C1 = 4, 5, 6, 7
 _W2X, _W2Y, _W2Z, _C2 = 8, 9, 10, 11
 _VALID = 12
 TRI_CONST_ROWS = 16  # padded to a sublane multiple
+SC2_ROWS = 40  # sphere-cast constants rows (pack_sc2_consts, raycast_cull)
 
 
 def morton_sort_tris(tri_verts: np.ndarray) -> np.ndarray:
@@ -865,25 +866,39 @@ def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
         ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
         dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
 
-        tc = tri_ref[:]  # [32, T] pack_sc2_consts layout
+        tc = tri_ref[:]  # [40, T] pack_sc2_consts v3 layout
         v0 = (tc[0:1], tc[1:2], tc[2:3])
         e1 = (tc[3:4], tc[4:5], tc[5:6])
         e2 = (tc[6:7], tc[7:8], tc[8:9])
         nx, ny, nz = tc[9:10], tc[10:11], tc[11:12]
         valid = tc[12:13] > 0.0
-        d00, d01, d11 = tc[13:14], tc[14:15], tc[15:16]
-        inv_den = tc[16:17]
-        v1 = (tc[17:18], tc[18:19], tc[19:20])
-        e12 = (tc[23:24], tc[24:25], tc[25:26])
-        l12 = tc[26:27]
-        nv0 = tc[27:28]
+        d00, d11, l12 = tc[13:14], tc[14:15], tc[15:16]
+        v1 = (tc[16:17], tc[17:18], tc[18:19])
+        v2 = (tc[19:20], tc[20:21], tc[21:22])
+        e12 = (tc[22:23], tc[23:24], tc[24:25])
+        inv_d00, inv_d11, inv_l12 = tc[25:26], tc[26:27], tc[27:28]
+        w1 = (tc[28:29], tc[29:30], tc[30:31])
+        c1 = tc[31:32]
+        w2 = (tc[32:33], tc[33:34], tc[34:35])
+        c2 = tc[35:36]
+        w1n, w2n = tc[36:37], tc[37:38]
+        nv0 = tc[38:39]
 
         inf = jnp.float32(np.inf)
 
-        # face: ray vs plane offset by r toward the sphere + contact
-        # barycentrics inside
+        # shared origin/direction affine terms (barycentrics are affine in
+        # the contact point: bv(x) = w1.x + c1, bw(x) = w2.x + c2)
         nd = nx * dx + ny * dy + nz * dz  # [BC, T]
         h = (nx * ox + ny * oy + nz * oz) - nv0
+        u0 = w1[0] * ox + w1[1] * oy + w1[2] * oz + c1
+        v0b = w2[0] * ox + w2[1] * oy + w2[2] * oz + c2
+        w1d = w1[0] * dx + w1[1] * dy + w1[2] * dz
+        w2d = w2[0] * dx + w2[1] * dy + w2[2] * dz
+        rw1n = rr * w1n  # per-tri rows, hoisted off the pair loop
+        rw2n = rr * w2n
+
+        # face: ray vs plane offset by r toward the sphere + contact
+        # barycentrics inside
         sign = jnp.where(h >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
         nd_ok = jnp.abs(nd) > 1e-9
         # exact divide here: an approx reciprocal (2^-12 rel err) was
@@ -892,39 +907,29 @@ def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
         # feature (parity suite caught 1.1u worst case) — unlike the fan
         # kernels, the sphere cast has acceptance cliffs downstream of t
         t_face = (sign * rr - h) / jnp.where(nd_ok, nd, jnp.float32(1.0))
-        cx = ox + t_face * dx - sign * rr * nx - v0[0]
-        cy = oy + t_face * dy - sign * rr * ny - v0[1]
-        cz = oz + t_face * dz - sign * rr * nz - v0[2]
-        d20 = cx * e1[0] + cy * e1[1] + cz * e1[2]
-        d21 = cx * e2[0] + cy * e2[1] + cz * e2[2]
-        bv = (d11 * d20 - d01 * d21) * inv_den
-        bw = (d00 * d21 - d01 * d20) * inv_den
+        # contact = o + t d - sign r n
+        bv = u0 + t_face * w1d - sign * rw1n
+        bw = v0b + t_face * w2d - sign * rw2n
         face_ok = (
             nd_ok & (t_face >= 0.0) & (bv >= 0.0) & (bw >= 0.0)
             & (bv + bw <= 1.0)
         )
         t_face = jnp.where(face_ok, t_face, inf)
 
-        # start-overlap, face region (plane projection inside the face)
-        px = ox - h * nx - v0[0]
-        py = oy - h * ny - v0[1]
-        pz = oz - h * nz - v0[2]
-        p20 = px * e1[0] + py * e1[1] + pz * e1[2]
-        p21 = px * e2[0] + py * e2[1] + pz * e2[2]
-        pv = (d11 * p20 - d01 * p21) * inv_den
-        pw = (d00 * p21 - d01 * p20) * inv_den
+        # start-overlap, face region (plane projection p = o - h n)
+        pv = u0 - h * w1n
+        pw = v0b - h * w2n
         overlap = (
             (jnp.abs(h) <= rr) & (pv >= 0.0) & (pw >= 0.0)
             & (pv + pw <= 1.0)
         )
 
-        def capsule(p0x, p0y, p0z, sx, sy, sz, len2):
+        def capsule(p0x, p0y, p0z, sx, sy, sz, len2, inv_l2):
             mx, my, mz = ox - p0x, oy - p0y, oz - p0z
             md = mx * dx + my * dy + mz * dz
             ms = mx * sx + my * sy + mz * sz
             ds = dx * sx + dy * sy + dz * sz
             mm = mx * mx + my * my + mz * mz
-            inv_l2 = 1.0 / jnp.maximum(len2, 1e-20)
             aa = 1.0 - ds * ds * inv_l2
             bb = md - ms * ds * inv_l2
             cc = mm - ms * ms * inv_l2 - rr * rr
@@ -950,15 +955,20 @@ def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
             ok = (disc >= 0.0) & (ts >= 0.0)
             return jnp.where(ok, ts, inf), cc <= 0.0
 
-        t_edge, in0 = capsule(v0[0], v0[1], v0[2], e1[0], e1[1], e1[2], d00)
+        t_edge, in0 = capsule(
+            v0[0], v0[1], v0[2], e1[0], e1[1], e1[2], d00, inv_d00
+        )
         overlap = overlap | in0
-        t_e, in1 = capsule(v0[0], v0[1], v0[2], e2[0], e2[1], e2[2], d11)
+        t_e, in1 = capsule(
+            v0[0], v0[1], v0[2], e2[0], e2[1], e2[2], d11, inv_d11
+        )
         t_edge = jnp.minimum(t_edge, t_e)
         overlap = overlap | in1
-        t_e, in2 = capsule(v1[0], v1[1], v1[2], e12[0], e12[1], e12[2], l12)
+        t_e, in2 = capsule(
+            v1[0], v1[1], v1[2], e12[0], e12[1], e12[2], l12, inv_l12
+        )
         t_edge = jnp.minimum(t_edge, t_e)
         overlap = overlap | in2
-        v2 = (tc[20:21], tc[21:22], tc[22:23])
         for c in (v0, v1, v2):
             t_s, in_s = sphere(c[0], c[1], c[2])
             t_edge = jnp.minimum(t_edge, t_s)
@@ -1012,7 +1022,8 @@ def _get_sc_flat(r: float, T: int, with_normal: bool = True):
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (32, T), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (SC2_ROWS, T), lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
@@ -1080,7 +1091,7 @@ def sphere_cast_vs_tris_pallas(o, d, r: float, soup, t_max=INF,
     # winner data: one-hot [R, T] @ consts.T [T, 32] on the MXU
     idx = jnp.clip(idx_f.astype(jnp.int32), 0, T - 1)
     onehot = (idx[:, None] == jnp.arange(T)).astype(jnp.float32)
-    wsel = onehot @ jnp.transpose(soup.sc_packed, (1, 0))  # [R, 32]
+    wsel = onehot @ jnp.transpose(soup.sc_packed, (1, 0))  # [R, SC2_ROWS]
     v0 = wsel[:, 0:3]
     e1 = wsel[:, 3:6]
     e2 = wsel[:, 6:9]
