@@ -225,7 +225,22 @@ def ray_vs_tris_pallas(o: jax.Array, d: jax.Array, tri_consts: jax.Array,
 # ([F, 4] @ [4, 3T]) — directions are unit-scale so bf16's ~0.3% relative
 # error only perturbs sensor distances, not game-state collision.
 
-FANS_PER_BLOCK = 32
+def _env_int(name, default):
+    return int(os.environ.get(name, default))
+
+
+FANS_PER_BLOCK = _env_int("MPENV_FPB", 32)  # dd intermediate is
+# [FPB, F, 3T] f32 (~10 MB at 32) — the dominant VMEM tenant
+
+
+def _recip(num, den):
+    """num / den elementwise; MPENV_RECIP picks the engine (in-situ A/B:
+    the microbenchmark issue rates of approx-reciprocal vs exact divide
+    do not predict fused-kernel behavior on v5e)."""
+    mode = os.environ.get("MPENV_RECIP", "approx")
+    if mode == "div":
+        return num / den
+    return num * pl.reciprocal(den, approx=True)
 
 
 DIR_K = 128  # contraction dim padded to the MXU width so Mosaic routes the
@@ -297,9 +312,9 @@ def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK,
             # every comparison below rejects the pair (a +-inf t always
             # drives u or v to inf/NaN). Invalid/padding tris need no mask
             # either: their packed normal is the zero vector, so
-            # t = 0 * inf = NaN and every comparison fails. Approximate
-            # reciprocal (2^-12 rel err) beats the multi-pass f32 divide;
-            # sensor distances tolerate 0.02%.
+            # t = 0 * inf = NaN and every comparison fails. Exact divide:
+            # measured ~10x the issue rate of pl.reciprocal(approx=True)
+            # on v5e (vpu_probe.py), and exact to boot.
             if grouped:
                 # z-dependent terms hoist per (fan, group, tri): all of an
                 # agent's rays share one of <=5 origin z offsets
@@ -311,7 +326,7 @@ def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK,
                     u0g = u0 + zg * w1z
                     v0g = v0 + zg * w2z
                     sl = slice(f * F + row, f * F + row + glen)
-                    t = no2g * pl.reciprocal(dd[sl, 0:T], approx=True)
+                    t = _recip(no2g, dd[sl, 0:T])
                     u = u0g + t * dd[sl, T:2 * T]
                     v = v0g + t * dd[sl, 2 * T:3 * T]
                     hit = (
@@ -329,7 +344,7 @@ def _make_fan_kernel(F: int, T: int, fpb: int = FANS_PER_BLOCK,
                 w1d = dd[sl, T:2 * T]
                 w2d = dd[sl, 2 * T:3 * T]
                 z = zoff[sl]  # [F, 1]
-                t = (no2 - z * nz) * pl.reciprocal(nd, approx=True)
+                t = _recip(no2 - z * nz, nd)
                 u = (u0 + z * w1z) + t * w1d
                 v = (v0 + z * w2z) + t * w2d
                 hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
@@ -419,7 +434,7 @@ def _make_fan_kernel_v8(F: int, T: int, fpb: int, zgroups):
             w2d = dd[:, row:row + glen, 2 * T:3 * T]
             # parallel rays / padding tris need no guards (t degenerates
             # to ±inf/NaN and every compare rejects)
-            t = no2g * pl.reciprocal(nd, approx=True)
+            t = _recip(no2g, nd)
             u = u0g + t * w1d
             v = v0g + t * w2d
             hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
@@ -606,7 +621,7 @@ def _make_fan_kernel_v5(F: int, T: int, fpb: int, zgroups, engine="mxu"):
                 w2d = dxg * w2x[None] + dyg * w2y[None] + dzg * w2z[None]
             # see v3 kernel notes: parallel rays / padding tris need no
             # guards (t degenerates to ±inf/NaN and every compare rejects)
-            t = no2g * pl.reciprocal(nd, approx=True)
+            t = _recip(no2g, nd)
             u = u0g + t * w1d
             v = v0g + t * w2d
             hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
@@ -677,7 +692,7 @@ def _make_fan_kernel_v4(F: int, T: int, fpb: int, zgroups, engine="mxu"):
                     glen, fpb, T)
             # see v3 kernel notes: parallel rays / padding tris need no
             # guards (t degenerates to ±inf/NaN and every compare rejects)
-            t = no2g[None] * pl.reciprocal(nd, approx=True)
+            t = _recip(no2g[None], nd)
             u = u0g[None] + t * w1d
             v = v0g[None] + t * w2d
             hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
