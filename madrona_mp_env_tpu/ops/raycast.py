@@ -79,6 +79,8 @@ class TriSoup(NamedTuple):
     dir_packed: jax.Array  # [16, 3T] bf16 fan-kernel direction matrix
     # v8 fan-kernel table (defaulted: ad-hoc dense-only soups skip it)
     dirT_packed: jax.Array = None  # [8, 3T] bf16 direction-dot matrix
+    # planar sphere-cast table (transposed sc constants, tris on rows)
+    sc_packedT: jax.Array = None  # [T, 40]
 
 
 def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
@@ -121,6 +123,9 @@ def make_tri_soup(tri_verts: np.ndarray, pad_to: int = 128) -> TriSoup:
         ),
         dirT_packed=jnp.asarray(
             pack_dir_consts8(pack_tri_consts(tri_verts, pad_to=padded))
+        ),
+        sc_packedT=jnp.asarray(
+            pack_sc2_consts(tri_verts, pad_to=padded).T.copy()
         ),
     )
 
@@ -213,6 +218,83 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
         [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
     )
     return _ray_vs_tris_dense(o, dirs, soup, t_max)
+
+
+def sphere_cast_planar(o_comps, d_comps, r, soup: TriSoup, t_max=INF,
+                       with_normal=True):
+    """Planar-operand sphere cast: o_comps/d_comps = (x, y, z) component
+    arrays of identical shape [...]. Returns (t [...], winner tri row idx
+    [...] i32). On TPU this feeds the transposed Pallas kernel with zero
+    operand repacking; elsewhere the components are stacked into the dense
+    jnp sweep. Winner normals via sc_normals_from_idx (so callers
+    reconstruct only for the casts that consume them).
+
+    No culled variant yet: the per-cell candidate path still goes through
+    sphere_cast_grouped (culling is opt-in via MPENV_CULL and currently
+    loses to the dense kernels on simple_map-sized candidate sets)."""
+    if use_pallas():
+        from .raycast_pallas import sphere_cast_planar_pallas
+
+        return sphere_cast_planar_pallas(
+            o_comps, d_comps, float(r), soup, t_max=t_max,
+            with_normal=with_normal,
+        )
+    o = jnp.stack(o_comps, axis=-1)
+    d = jnp.stack(d_comps, axis=-1)
+    t, _n = _sphere_cast_vs_tris_dense(o, d, r, soup, t_max)
+    # dense path: recover the winner row for parity with the kernel
+    idx = _sphere_cast_winner_idx_dense(o, d, r, soup)
+    return t, idx
+
+
+def _sphere_cast_winner_idx_dense(o, d, r, soup: TriSoup):
+    """Winner triangle row of the dense sweep (argmin over per-tri t)."""
+    ob = o[..., None, :]
+    db = d[..., None, :]
+    closest = _closest_point_on_tri(ob, soup.v0, soup.e1, soup.e2)
+    to_center = ob - closest
+    dist2 = jnp.sum(to_center * to_center, axis=-1)
+    overlap = (dist2 <= r * r) & soup.valid
+
+    n = soup.normal
+    ndotd = jnp.sum(n * db, axis=-1)
+    h = jnp.sum((ob - soup.v0) * n, axis=-1)
+    sign = jnp.sign(h)
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    safe_ndotd = jnp.where(jnp.abs(ndotd) > 1e-9, ndotd, 1.0)
+    t_face = (sign * r - h) / safe_ndotd
+    contact = ob + t_face[..., None] * db - sign[..., None] * r * n
+    cp = contact - soup.v0
+    d00 = jnp.sum(soup.e1 * soup.e1, axis=-1)
+    d01 = jnp.sum(soup.e1 * soup.e2, axis=-1)
+    d11 = jnp.sum(soup.e2 * soup.e2, axis=-1)
+    d20 = jnp.sum(cp * soup.e1, axis=-1)
+    d21 = jnp.sum(cp * soup.e2, axis=-1)
+    denom = d00 * d11 - d01 * d01
+    inv_denom = jnp.where(jnp.abs(denom) > 1e-20, 1.0 / denom, 0.0)
+    bv = (d11 * d20 - d01 * d21) * inv_denom
+    bw = (d00 * d21 - d01 * d20) * inv_denom
+    face_ok = (
+        (jnp.abs(ndotd) > 1e-9) & (t_face >= 0.0)
+        & (bv >= 0.0) & (bw >= 0.0) & (bv + bw <= 1.0) & soup.valid
+    )
+    t_face = jnp.where(face_ok, t_face, INF)
+
+    v1 = soup.v0 + soup.e1
+    t_e0 = _ray_vs_segment_capsule(
+        ob, db, soup.v0, soup.e1, jnp.sum(soup.e1 * soup.e1, axis=-1), r
+    )
+    t_e1 = _ray_vs_segment_capsule(
+        ob, db, soup.v0, soup.e2, jnp.sum(soup.e2 * soup.e2, axis=-1), r
+    )
+    e12 = soup.e2 - soup.e1
+    t_e2 = _ray_vs_segment_capsule(
+        ob, db, v1, e12, jnp.sum(e12 * e12, axis=-1), r
+    )
+    t_edge = jnp.where(soup.valid, jnp.minimum(t_e0, jnp.minimum(t_e1, t_e2)),
+                       INF)
+    t_tri = jnp.where(overlap, 0.0, jnp.minimum(t_face, t_edge))
+    return jnp.argmin(t_tri, axis=-1).astype(jnp.int32)
 
 
 def sphere_cast_grouped(o, d, r, soup: TriSoup, t_max=INF, *, cells=None,

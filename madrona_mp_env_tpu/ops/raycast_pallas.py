@@ -873,15 +873,11 @@ def ray_fans_vs_tris_pallas(origins, zoffs, dirs, soup, t_max=INF,
 BLOCK_CASTS = 256
 
 
-def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
-    rr = float(r)
-
-    def kernel(rays_ref, tri_ref, out_ref):
-        rays = rays_ref[:]
-        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-
-        tc = tri_ref[:]  # [40, T] pack_sc2_consts v3 layout
+def _sc_sweep_lanes(ox, oy, oz, dx, dy, dz, tc, rr, with_normal):
+    """The sphere-cast sweep with casts on SUBLANES ([BC, 1] columns) and
+    triangles on LANES ([1, T] rows of the [40, T] constants). Returns
+    (t_min [BC, 1], winner-lane idx [BC, 1] i32 or None)."""
+    if True:  # keep the historical indentation of the sweep body
         v0 = (tc[0:1], tc[1:2], tc[2:3])
         e1 = (tc[3:4], tc[4:5], tc[5:6])
         e2 = (tc[6:7], tc[7:8], tc[8:9])
@@ -995,9 +991,7 @@ def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
 
         t_min = jnp.min(t, axis=1, keepdims=True)  # [BC, 1]
         if not with_normal:
-            out_ref[:, 0:1] = t_min
-            out_ref[:, 1:8] = jnp.zeros((t_min.shape[0], 7), jnp.float32)
-            return
+            return t_min, None
 
         # winner lane (first-lane tie-break = argmin); the contact normal
         # is reconstructed OUTSIDE the kernel from a one-hot matmul over the
@@ -1008,9 +1002,51 @@ def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
             jnp.where(t == t_min, lane, jnp.int32(2 ** 30)),
             axis=1, keepdims=True,
         )
+        return t_min, idx
+
+
+def _make_sc_kernel(r: float, T: int, with_normal: bool = True):
+    rr = float(r)
+
+    def kernel(rays_ref, tri_ref, out_ref):
+        rays = rays_ref[:]
+        t_min, idx = _sc_sweep_lanes(
+            rays[:, 0:1], rays[:, 1:2], rays[:, 2:3],
+            rays[:, 3:4], rays[:, 4:5], rays[:, 5:6],
+            tri_ref[:], rr, with_normal,
+        )
         out_ref[:, 0:1] = t_min
-        out_ref[:, 1:2] = idx.astype(jnp.float32)
-        out_ref[:, 2:8] = jnp.zeros((t_min.shape[0], 6), jnp.float32)
+        if with_normal:
+            out_ref[:, 1:2] = idx.astype(jnp.float32)
+            out_ref[:, 2:8] = jnp.zeros((t_min.shape[0], 6), jnp.float32)
+        else:
+            out_ref[:, 1:8] = jnp.zeros((t_min.shape[0], 7), jnp.float32)
+
+    return kernel
+
+
+def _make_sc_kernel_planar_T(r: float, T: int, with_normal: bool = True):
+    """Planar I/O ([8, BC] component rows in, [8, BC] out) around the
+    lanes-oriented sweep: one in-kernel [8, BC] -> [BC, 8] transpose buys
+    the tris-on-lanes orientation (A/B vs the sublane-oriented planar
+    kernel via MPENV_SC_LAYOUT=rowsT)."""
+    rr = float(r)
+
+    def kernel(pln_ref, tri_ref, out_ref):
+        rays = jnp.transpose(pln_ref[:], (1, 0))  # [BC, 8]
+        t_min, idx = _sc_sweep_lanes(
+            rays[:, 0:1], rays[:, 1:2], rays[:, 2:3],
+            rays[:, 3:4], rays[:, 4:5], rays[:, 5:6],
+            tri_ref[:], rr, with_normal,
+        )
+        out_ref[0:1, :] = jnp.transpose(t_min, (1, 0))
+        if with_normal:
+            out_ref[1:2, :] = jnp.transpose(
+                idx.astype(jnp.float32), (1, 0)
+            )
+        else:
+            out_ref[1:2, :] = jnp.zeros((1,) + t_min.shape[:1], jnp.float32)
+        out_ref[2:8, :] = jnp.zeros((6,) + t_min.shape[:1], jnp.float32)
 
     return kernel
 
@@ -1133,3 +1169,305 @@ def sphere_cast_vs_tris_pallas(o, d, r: float, soup, t_max=INF,
         t_final.reshape(batch_shape),
         normal.reshape(batch_shape + (3,)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Planar sphere cast (v2 layout: triangles on sublanes, casts on lanes)
+# ---------------------------------------------------------------------------
+#
+# The row-major sphere-cast kernel above needs its operands packed as
+# [R, 8] rows; XLA materializes that pack as a chain of stacks + layout
+# copies (~0.7 ms/step at 1024 worlds, device-trace attributed). This
+# variant takes the casts as COMPONENT ROWS ([8, R]: ox oy oz dx dy dz) —
+# the producers' natural per-component math stacks straight into it — and
+# flips the pair grid so per-cast values are [1, BC] row slices (free) and
+# per-triangle constants are [TC, 1] column slices of the transposed
+# constants table. Triangle chunks of 256 sublane rows keep the per-pair
+# temporaries ~0.5 MB each regardless of map size.
+
+SC_BC = _env_int("MPENV_SC_BC", 1024)  # casts per block (lanes); 2048
+# overflows VMEM (per-pair temps are [256, BC] f32), 512 loses ~2%
+SC_TRI_CHUNK = 256  # triangle rows per epilogue chunk (sublanes)
+
+
+def _make_sc_kernel_planar(r: float, T: int, with_normal: bool = True):
+    rr = float(r)
+    n_chunks = -(-T // SC_TRI_CHUNK)
+
+    def kernel(pln_ref, tri_ref, out_ref):
+        p = pln_ref[:]  # [8, BC] f32: ox oy oz dx dy dz pad pad
+        ox, oy, oz = p[0:1], p[1:2], p[2:3]
+        dx, dy, dz = p[3:4], p[4:5], p[5:6]
+        inf = jnp.float32(np.inf)
+
+        t_best = jnp.full(ox.shape, inf, jnp.float32)
+        i_best = jnp.full(ox.shape, jnp.float32(2 ** 30))
+
+        for ci in range(n_chunks):
+            tc = tri_ref[ci * SC_TRI_CHUNK:(ci + 1) * SC_TRI_CHUNK, :]
+
+            def col(k):
+                return tc[:, k:k + 1]  # [TC, 1]
+
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+            nxx, nyy, nzz = col(9), col(10), col(11)
+            valid = col(12) > 0.0
+            d00, d11, l12 = col(13), col(14), col(15)
+            v1x, v1y, v1z = col(16), col(17), col(18)
+            e12x, e12y, e12z = col(22), col(23), col(24)
+            inv_d00, inv_d11, inv_l12 = col(25), col(26), col(27)
+            w1x, w1y, w1z = col(28), col(29), col(30)
+            c1 = col(31)
+            w2x, w2y, w2z = col(32), col(33), col(34)
+            c2 = col(35)
+            w1n, w2n = col(36), col(37)
+            nv0 = col(38)
+
+            # shared affine terms (same math as the row-major kernel; see
+            # _make_sc_kernel for the semantics notes)
+            nd = nxx * dx + nyy * dy + nzz * dz  # [TC, BC]
+            h = (nxx * ox + nyy * oy + nzz * oz) - nv0
+            u0 = w1x * ox + w1y * oy + w1z * oz + c1
+            v0b = w2x * ox + w2y * oy + w2z * oz + c2
+            w1d = w1x * dx + w1y * dy + w1z * dz
+            w2d = w2x * dx + w2y * dy + w2z * dz
+            rw1n = rr * w1n
+            rw2n = rr * w2n
+
+            sign = jnp.where(h >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+            nd_ok = jnp.abs(nd) > 1e-9
+            t_face = (sign * rr - h) / jnp.where(nd_ok, nd, jnp.float32(1.0))
+            bv = u0 + t_face * w1d - sign * rw1n
+            bw = v0b + t_face * w2d - sign * rw2n
+            face_ok = (
+                nd_ok & (t_face >= 0.0) & (bv >= 0.0) & (bw >= 0.0)
+                & (bv + bw <= 1.0)
+            )
+            t_face = jnp.where(face_ok, t_face, inf)
+
+            pv = u0 - h * w1n
+            pw = v0b - h * w2n
+            overlap = (
+                (jnp.abs(h) <= rr) & (pv >= 0.0) & (pw >= 0.0)
+                & (pv + pw <= 1.0)
+            )
+
+            def capsule(p0x, p0y, p0z, sx, sy, sz, len2, inv_l2):
+                mx, my, mz = ox - p0x, oy - p0y, oz - p0z
+                md = mx * dx + my * dy + mz * dz
+                ms = mx * sx + my * sy + mz * sz
+                ds = dx * sx + dy * sy + dz * sz
+                mm = mx * mx + my * my + mz * mz
+                aa = 1.0 - ds * ds * inv_l2
+                bb = md - ms * ds * inv_l2
+                cc = mm - ms * ms * inv_l2 - rr * rr
+                start_in = (cc <= 0.0) & (ms >= 0.0) & (ms <= len2)
+                disc = bb * bb - aa * cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                safe_a = jnp.where(jnp.abs(aa) > 1e-12, aa, jnp.float32(1.0))
+                t_cyl = (-bb - sq) / safe_a
+                s_hit = ms + t_cyl * ds
+                ok = (
+                    (jnp.abs(aa) > 1e-12) & (disc >= 0.0) & (t_cyl >= 0.0)
+                    & (s_hit >= 0.0) & (s_hit <= len2)
+                )
+                return jnp.where(ok, t_cyl, inf), start_in
+
+            def sphere(cxx, cyy, czz):
+                mx, my, mz = ox - cxx, oy - cyy, oz - czz
+                bb = mx * dx + my * dy + mz * dz
+                cc = mx * mx + my * my + mz * mz - rr * rr
+                disc = bb * bb - cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                ts = -bb - sq
+                ok = (disc >= 0.0) & (ts >= 0.0)
+                return jnp.where(ok, ts, inf), cc <= 0.0
+
+            t_edge, in0 = capsule(v0x, v0y, v0z, e1x, e1y, e1z, d00, inv_d00)
+            overlap = overlap | in0
+            t_e, in1 = capsule(v0x, v0y, v0z, e2x, e2y, e2z, d11, inv_d11)
+            t_edge = jnp.minimum(t_edge, t_e)
+            overlap = overlap | in1
+            t_e, in2 = capsule(v1x, v1y, v1z, e12x, e12y, e12z, l12, inv_l12)
+            t_edge = jnp.minimum(t_edge, t_e)
+            overlap = overlap | in2
+            t_s, in_s = sphere(v0x, v0y, v0z)
+            t_edge = jnp.minimum(t_edge, t_s)
+            overlap = overlap | in_s
+            t_s, in_s = sphere(v1x, v1y, v1z)
+            t_edge = jnp.minimum(t_edge, t_s)
+            overlap = overlap | in_s
+            t_s, in_s = sphere(col(19), col(20), col(21))  # v2
+            t_edge = jnp.minimum(t_edge, t_s)
+            overlap = overlap | in_s
+
+            t = jnp.minimum(t_face, t_edge)
+            t = jnp.where(overlap, jnp.float32(0.0), t)
+            t = jnp.where(valid, t, inf)
+
+            t_min_c = jnp.min(t, axis=0, keepdims=True)  # [1, BC]
+            if with_normal:
+                row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) \
+                    + ci * SC_TRI_CHUNK
+                i_c = jnp.min(
+                    jnp.where(t == t_min_c, row, jnp.int32(2 ** 30)),
+                    axis=0, keepdims=True,
+                ).astype(jnp.float32)
+                # strict <: ties across chunks keep the earlier (lower-row)
+                # winner, matching the single-pass first-lane tie-break
+                take = t_min_c < t_best
+                i_best = jnp.where(take, i_c, i_best)
+            t_best = jnp.minimum(t_best, t_min_c)
+
+        out_ref[0:1, :] = t_best
+        out_ref[1:2, :] = i_best
+        out_ref[2:8, :] = jnp.zeros(
+            (6,) + t_best.shape[1:], jnp.float32
+        )
+
+    return kernel
+
+
+_SC_PLANAR_CACHE = {}
+
+
+def sc_layout() -> str:
+    """MPENV_SC_LAYOUT: 'rowsT' (default — planar I/O, one in-kernel block
+    transpose into the tris-on-lanes sweep; measured ~2% faster end-to-end
+    than 'cols') or 'cols' (tris on sublanes, casts on lanes)."""
+    return os.environ.get("MPENV_SC_LAYOUT", "rowsT")
+
+
+def _get_sc_planar(r: float, T: int, with_normal: bool = True):
+    layout = sc_layout()
+    ck = (r, T, with_normal, layout, _interp())
+    if ck in _SC_PLANAR_CACHE:
+        return _SC_PLANAR_CACHE[ck]
+
+    if layout == "rowsT":
+        kernel = _make_sc_kernel_planar_T(r, T, with_normal)
+        tri_spec = pl.BlockSpec(
+            (SC2_ROWS, T), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        kernel = _make_sc_kernel_planar(r, T, with_normal)
+        tri_spec = pl.BlockSpec(
+            (T, SC2_ROWS), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+
+    def call(planes, scT):
+        R = planes.shape[1]
+        return pl.pallas_call(
+            kernel,
+            grid=(R // SC_BC,),
+            in_specs=[
+                pl.BlockSpec(
+                    (8, SC_BC), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+                tri_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (8, SC_BC), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((8, R), jnp.float32),
+            interpret=_interp(),
+        )(planes, scT)
+
+    @jax.custom_batching.custom_vmap
+    def sc_planar_flat(ox, oy, oz, dx, dy, dz, scT):
+        """Comps [R] each -> (t [R], winner row idx [R] f32)."""
+        R = ox.shape[0]
+        R_pad = -(-max(R, 1) // SC_BC) * SC_BC
+        z = jnp.zeros((R,), jnp.float32)
+        planes = jnp.stack([ox, oy, oz, dx, dy, dz, z, z], axis=0)
+        planes = jnp.pad(planes, ((0, 0), (0, R_pad - R)))
+        out = call(planes, scT)
+        return out[0, :R], out[1, :R]
+
+    @sc_planar_flat.def_vmap
+    def _sc_planar_vmap(axis_size, in_batched, ox, oy, oz, dx, dy, dz, scT):
+        assert not in_batched[6]
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape(-1)
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(-1)
+
+        args = [
+            bcast(x, b)
+            for x, b in zip((ox, oy, oz, dx, dy, dz), in_batched[:6])
+        ]
+        t, ix = sc_planar_flat(*args, scT)
+        return (t.reshape(B, -1), ix.reshape(B, -1)), (True, True)
+
+    _SC_PLANAR_CACHE[ck] = sc_planar_flat
+    return sc_planar_flat
+
+
+def sphere_cast_planar_pallas(o_comps, d_comps, r: float, soup, t_max=INF,
+                              with_normal: bool = True):
+    """Planar-operand sphere cast: o_comps/d_comps are (x, y, z) component
+    arrays of identical shape [...]. Returns (t [...], winner tri row
+    [...] i32; only meaningful where t is finite). Same sweep semantics as
+    sphere_cast_vs_tris_pallas (MeshBVH::sphereCast, mesh_bvh.inl:885+)."""
+    ox, oy, oz = o_comps
+    dx, dy, dz = d_comps
+    batch_shape = ox.shape
+    R = int(np.prod(batch_shape)) if batch_shape else 1
+    T = soup.sc_packedT.shape[0]
+    sc_flat = _get_sc_planar(float(r), T, with_normal)
+    table = soup.sc_packed if sc_layout() == "rowsT" else soup.sc_packedT
+    t, ix = sc_flat(
+        ox.reshape(R), oy.reshape(R), oz.reshape(R),
+        dx.reshape(R), dy.reshape(R), dz.reshape(R), table,
+    )
+    t = jnp.where(t <= t_max, t, INF)
+    return (
+        t.reshape(batch_shape),
+        jnp.clip(ix.astype(jnp.int32), 0, T - 1).reshape(batch_shape),
+    )
+
+
+def sc_normals_from_idx(o, d, t, idx, soup):
+    """Contact normal for sphere-cast winners: o, d [..., 3]; t, idx [...].
+    One-hot matmul over the constants table (no gathers) + Jolt-style
+    face/edge normal selection — the same reconstruction the row-major
+    entry performs, factored out so callers can apply it to just the casts
+    that consume normals. Returns [..., 3] (zeros where t = inf)."""
+    batch_shape = t.shape
+    R = int(np.prod(batch_shape)) if batch_shape else 1
+    T = soup.sc_packed.shape[1]
+    of = o.reshape(R, 3)
+    df = d.reshape(R, 3)
+    tf = t.reshape(R)
+    ix = jnp.clip(idx.reshape(R), 0, T - 1)
+
+    onehot = (ix[:, None] == jnp.arange(T)).astype(jnp.float32)
+    wsel = onehot @ jnp.transpose(soup.sc_packed, (1, 0))  # [R, SC2_ROWS]
+    v0 = wsel[:, 0:3]
+    e1 = wsel[:, 3:6]
+    e2 = wsel[:, 6:9]
+    n = wsel[:, 9:12]
+
+    from . import raycast as rc
+
+    missed = ~jnp.isfinite(tf)
+    finite_t = jnp.where(missed, 0.0, tf)
+    hit_center = of + finite_t[:, None] * df
+    closest = rc._closest_point_on_tri(hit_center, v0, e1, e2)
+    depen = hit_center - closest
+    dlen = jnp.linalg.norm(depen, axis=-1, keepdims=True)
+    edge_n = jnp.where(
+        dlen > 1e-12, depen / jnp.maximum(dlen, 1e-30),
+        jnp.array([0.0, 0.0, 1.0]),
+    )
+    h = jnp.sum((of - v0) * n, axis=-1)
+    sign = jnp.where(h >= 0.0, 1.0, -1.0)
+    face_n = sign[:, None] * n
+    is_face = jnp.abs(jnp.sum(edge_n * n, axis=-1)) > 0.999
+    normal = jnp.where(is_face[:, None], face_n, edge_n)
+    normal = jnp.where(missed[:, None], 0.0, normal)
+    return normal.reshape(batch_shape + (3,))

@@ -157,6 +157,20 @@ def _cast_group(m: MapData, o, d, r, cells, with_normal=True):
     )
 
 
+def _use_planar_casts(m: MapData) -> bool:
+    """The TPU default path feeds the planar sphere-cast kernel with
+    component rows assembled directly from per-agent scalars (no [R, 8]
+    operand packing / layout copies); the culled + CPU paths keep the
+    vector-form casts."""
+    from ..ops import raycast as rc
+
+    return (
+        rc.use_pallas()
+        and not (rc.use_culling() and m.cells is not None)
+        and m.tris.sc_packedT is not None
+    )
+
+
 def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
                           cells=None):
     """Capsule collide-and-slide via sphere casts (applyVelocitySystem,
@@ -188,27 +202,69 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
     )
     is_prone = cur == Pose.Prone
 
+    planar = _use_planar_casts(m)
+
     # ---- L1: slope + two forward casts + 4 unstick probes (all from x) ----
     down = jnp.broadcast_to(-up, x.shape)
-    o_slope = x + up * top[:, None]
-    o_low = x + v_norm * (buf * 0.5) + up * low[:, None]
-    o_high = x + v_norm * (buf * 0.5) + up * top[:, None]
-    un_dirs = jnp.stack(
-        [geom.rotate_z(v_norm, k * consts.pi * 0.5) for k in range(4)], axis=1
-    )  # [A, 4, 3]
-    o_un = x[:, None, :] - un_dirs * (2.0 * r) + up * low[:, None, None]
+    if planar:
+        from ..ops.raycast import sphere_cast_planar
+        from ..ops.raycast_pallas import sc_normals_from_idx
 
-    o1 = jnp.concatenate(
-        [jnp.stack([o_slope, o_low, o_high], axis=1), o_un], axis=1
-    )  # [A, 7, 3]
-    d1 = jnp.concatenate(
-        [jnp.stack([down, v_norm, v_norm], axis=1), un_dirs], axis=1
-    )
-    t1, n1 = _cast_group(m, o1, d1, r, cells)
-    t_s, n_s = t1[:, 0], n1[:, 0]
-    t_low, n_low = t1[:, 1], n1[:, 1]
-    t_high, n_high = t1[:, 2], n1[:, 2]
-    t_un = t1[:, 3:7]
+        xx, xy, xz = x[:, 0], x[:, 1], x[:, 2]
+        vnx, vny = v_norm[:, 0], v_norm[:, 1]
+        hb = buf * 0.5
+        zero = jnp.zeros_like(xx)
+        r2 = 2.0 * r
+        # unstick dirs are v_norm rotated by k*pi/2: pure component swaps
+        # (replaces 4 rotate_z trig launches)
+        o1x = jnp.stack([
+            xx, xx + vnx * hb, xx + vnx * hb,
+            xx - r2 * vnx, xx + r2 * vny, xx + r2 * vnx, xx - r2 * vny,
+        ], axis=0)  # [7, A]
+        o1y = jnp.stack([
+            xy, xy + vny * hb, xy + vny * hb,
+            xy - r2 * vny, xy - r2 * vnx, xy + r2 * vny, xy + r2 * vnx,
+        ], axis=0)
+        o1z = jnp.stack([
+            xz + top, xz + low, xz + top,
+            xz + low, xz + low, xz + low, xz + low,
+        ], axis=0)
+        d1x = jnp.stack([zero, vnx, vnx, vnx, -vny, -vnx, vny], axis=0)
+        d1y = jnp.stack([zero, vny, vny, vny, vnx, -vny, -vnx], axis=0)
+        d1z = jnp.stack([-jnp.ones_like(xx)] + [zero] * 6, axis=0)
+        t1p, idx1 = sphere_cast_planar(
+            (o1x, o1y, o1z), (d1x, d1y, d1z), r, m.tris
+        )  # [7, A]
+        # normals only for the three casts that consume them
+        o3 = jnp.stack([o1x[:3], o1y[:3], o1z[:3]], axis=-1)  # [3, A, 3]
+        d3 = jnp.stack([d1x[:3], d1y[:3], d1z[:3]], axis=-1)
+        n3 = sc_normals_from_idx(o3, d3, t1p[:3], idx1[:3], m.tris)
+        t_s, n_s = t1p[0], n3[0]
+        t_low, n_low = t1p[1], n3[1]
+        t_high, n_high = t1p[2], n3[2]
+        t_un = jnp.transpose(t1p[3:7], (1, 0))  # [A, 4]
+        un_dirs = None  # planar L2 selects the best dir by component
+    else:
+        o_slope = x + up * top[:, None]
+        o_low = x + v_norm * (buf * 0.5) + up * low[:, None]
+        o_high = x + v_norm * (buf * 0.5) + up * top[:, None]
+        un_dirs = jnp.stack(
+            [geom.rotate_z(v_norm, k * consts.pi * 0.5) for k in range(4)],
+            axis=1,
+        )  # [A, 4, 3]
+        o_un = x[:, None, :] - un_dirs * (2.0 * r) + up * low[:, None, None]
+
+        o1 = jnp.concatenate(
+            [jnp.stack([o_slope, o_low, o_high], axis=1), o_un], axis=1
+        )  # [A, 7, 3]
+        d1 = jnp.concatenate(
+            [jnp.stack([down, v_norm, v_norm], axis=1), un_dirs], axis=1
+        )
+        t1, n1 = _cast_group(m, o1, d1, r, cells)
+        t_s, n_s = t1[:, 0], n1[:, 0]
+        t_low, n_low = t1[:, 1], n1[:, 1]
+        t_high, n_high = t1[:, 2], n1[:, 2]
+        t_un = t1[:, 3:7]
 
     slope_block = (
         (n_s[:, 2] > 0.0)
@@ -237,28 +293,71 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
     t_un_val = jnp.where(t_un > UNSTICK_RANGE, 3.0e38, t_un)
     furthest = jnp.max(t_un_val, axis=1)
     best_dir_idx = jnp.argmax(t_un_val, axis=1)
-    best_dir = jnp.take_along_axis(
-        un_dirs, best_dir_idx[:, None, None], axis=1
-    )[:, 0, :]
     any_dir = furthest > 0.0
     un_step = jnp.minimum(furthest - 2.0 * r, -buf)
-    un_pos = x + best_dir * un_step[:, None]
-    un_gc = un_pos + up * top[:, None]
 
-    # ---- L2: one slide step + unstick ground check ----
-    slide_dir = jnp.cross(jnp.broadcast_to(up, normal.shape), normal)
-    slide_dir = geom.normalize(slide_dir)
-    flip = jnp.einsum("ad,ad->a", slide_dir, v_norm) < 0.0
-    slide_dir = jnp.where(flip[:, None], -slide_dir, slide_dir)
-    o_slide = x + v_norm * low_dist[:, None] + up * jnp.where(
-        high_hit, top, low
-    )[:, None]
+    if planar:
+        # best unstick dir by component select (no gather)
+        i = best_dir_idx
+        bdx = jnp.where(
+            i == 0, vnx, jnp.where(i == 1, -vny, jnp.where(i == 2, -vnx, vny))
+        )
+        bdy = jnp.where(
+            i == 0, vny, jnp.where(i == 1, vnx, jnp.where(i == 2, -vny, -vnx))
+        )
+        un_px = xx + bdx * un_step
+        un_py = xy + bdy * un_step
+        un_gcz = xz + top
+        un_pos = jnp.stack([un_px, un_py, xz], axis=-1)
+        un_gc = jnp.stack([un_px, un_py, un_gcz], axis=-1)
 
-    o2 = jnp.stack([o_slide, un_gc], axis=1)
-    d2 = jnp.stack([slide_dir, down], axis=1)
-    t2, _ = _cast_group(m, o2, d2, r, cells, with_normal=False)
-    t_slide = t2[:, 0]
-    t_ground_un = t2[:, 1]
+        # slide dir = normalize(cross(up, normal)), sign-flipped toward v
+        nxc, nyc = normal[:, 0], normal[:, 1]
+        sl_len = jnp.sqrt(nxc * nxc + nyc * nyc)
+        inv_sl = jnp.where(sl_len > 1e-12, 1.0 / jnp.maximum(sl_len, 1e-30),
+                           0.0)
+        sdx = -nyc * inv_sl
+        sdy = nxc * inv_sl
+        flip = (sdx * vnx + sdy * vny) < 0.0
+        sdx = jnp.where(flip, -sdx, sdx)
+        sdy = jnp.where(flip, -sdy, sdy)
+        slide_dir = jnp.stack([sdx, sdy, jnp.zeros_like(sdx)], axis=-1)
+
+        h_sel = jnp.where(high_hit, top, low)
+        o2x = jnp.stack([xx + vnx * low_dist, un_px], axis=0)  # [2, A]
+        o2y = jnp.stack([xy + vny * low_dist, un_py], axis=0)
+        o2z = jnp.stack([xz + h_sel, un_gcz], axis=0)
+        d2x = jnp.stack([sdx, jnp.zeros_like(sdx)], axis=0)
+        d2y = jnp.stack([sdy, jnp.zeros_like(sdy)], axis=0)
+        d2z = jnp.stack(
+            [jnp.zeros_like(sdx), -jnp.ones_like(sdx)], axis=0
+        )
+        t2p, _ = sphere_cast_planar(
+            (o2x, o2y, o2z), (d2x, d2y, d2z), r, m.tris, with_normal=False
+        )
+        t_slide = t2p[0]
+        t_ground_un = t2p[1]
+    else:
+        best_dir = jnp.take_along_axis(
+            un_dirs, best_dir_idx[:, None, None], axis=1
+        )[:, 0, :]
+        un_pos = x + best_dir * un_step[:, None]
+        un_gc = un_pos + up * top[:, None]
+
+        # ---- L2: one slide step + unstick ground check ----
+        slide_dir = jnp.cross(jnp.broadcast_to(up, normal.shape), normal)
+        slide_dir = geom.normalize(slide_dir)
+        flip = jnp.einsum("ad,ad->a", slide_dir, v_norm) < 0.0
+        slide_dir = jnp.where(flip[:, None], -slide_dir, slide_dir)
+        o_slide = x + v_norm * low_dist[:, None] + up * jnp.where(
+            high_hit, top, low
+        )[:, None]
+
+        o2 = jnp.stack([o_slide, un_gc], axis=1)
+        d2 = jnp.stack([slide_dir, down], axis=1)
+        t2, _ = _cast_group(m, o2, d2, r, cells, with_normal=False)
+        t_slide = t2[:, 0]
+        t_ground_un = t2[:, 1]
 
     slide_needed = move_dist > low_dist
     slide_dist = jnp.maximum(0.0, t_slide - buf)
@@ -271,10 +370,18 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
 
     # ---- L3: ground snap under the slid position ----
     gc_pos = hit_pos + up * top[:, None]
-    t3, _ = _cast_group(
-        m, gc_pos[:, None, :], down[:, None, :], r, cells, with_normal=False
-    )
-    t_ground = t3[:, 0]
+    if planar:
+        t_ground, _ = sphere_cast_planar(
+            (gc_pos[:, 0], gc_pos[:, 1], gc_pos[:, 2]),
+            (jnp.zeros_like(top), jnp.zeros_like(top), -jnp.ones_like(top)),
+            r, m.tris, with_normal=False,
+        )
+    else:
+        t3, _ = _cast_group(
+            m, gc_pos[:, None, :], down[:, None, :], r, cells,
+            with_normal=False,
+        )
+        t_ground = t3[:, 0]
 
     need_unstick = (t_ground <= 0.0) | stuck
     hit_pos = jnp.where((need_unstick & any_dir)[:, None], un_pos, hit_pos)
@@ -304,12 +411,22 @@ def fall_system(cfg: EnvConfig, m: MapData, state: WorldState, cells=None):
     cast_offset = r
     up = jnp.array([0.0, 0.0, 1.0])
 
-    o = state.pos + up * (r + cast_offset)
-    down = jnp.broadcast_to(-up, o.shape)
-    t4, _ = _cast_group(
-        m, o[:, None, :], down[:, None, :], r, cells, with_normal=False
-    )
-    t_ground = t4[:, 0]
+    if _use_planar_casts(m):
+        from ..ops.raycast import sphere_cast_planar
+
+        zz = jnp.zeros_like(state.pos[:, 0])
+        t_ground, _ = sphere_cast_planar(
+            (state.pos[:, 0], state.pos[:, 1],
+             state.pos[:, 2] + (r + cast_offset)),
+            (zz, zz, zz - 1.0), r, m.tris, with_normal=False,
+        )
+    else:
+        o = state.pos + up * (r + cast_offset)
+        down = jnp.broadcast_to(-up, o.shape)
+        t4, _ = _cast_group(
+            m, o[:, None, :], down[:, None, :], r, cells, with_normal=False
+        )
+        t_ground = t4[:, 0]
 
     no_fall = jnp.isinf(t_ground) | (t_ground < cast_offset)
     fall_dist = jnp.minimum(

@@ -261,3 +261,91 @@ class TestSphereCastKernel:
         assert 1.0 - agree.mean() <= 0.01
         both = np.isfinite(t_k) & np.isfinite(t_d)
         assert np.abs(t_k[both] - t_d[both]).max() <= 1e-2
+
+
+class TestSphereCastPlanarKernel:
+    """Planar (tris-on-sublanes) sphere-cast kernel vs the dense sweep —
+    the movement chain's production TPU path after the component-planar
+    operand rework."""
+
+    def _check(self, s, o, d, r):
+        from madrona_mp_env_tpu.ops.raycast_pallas import (
+            sphere_cast_planar_pallas, sc_normals_from_idx,
+        )
+
+        t_k, idx = sphere_cast_planar_pallas(
+            (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]), r, s
+        )
+        n_k = sc_normals_from_idx(o, d, t_k, idx, s)
+        t_d, n_d = rc._sphere_cast_vs_tris_dense(o, d, r, s)
+        t_k, t_d = np.asarray(t_k), np.asarray(t_d)
+        agree = np.isfinite(t_k) == np.isfinite(t_d)
+        assert 1.0 - agree.mean() <= 0.01
+        both = np.isfinite(t_k) & np.isfinite(t_d)
+        err = np.abs(t_k[both] - t_d[both])
+        assert err.size == 0 or err.max() <= 1e-2, \
+            f"max planar sphere-cast t err {err.max():.2e}"
+        pos = both.copy()
+        pos[both] &= (t_k[both] > 1e-6) & (t_d[both] > 1e-6) & (err <= 1e-3)
+        if pos.any():
+            dot = np.sum(np.asarray(n_k)[pos] * np.asarray(n_d)[pos], -1)
+            assert dot.min() >= 0.99, f"normal misalignment {dot.min():.4f}"
+
+    @pytest.mark.parametrize("layout", ["cols", "rowsT"])
+    def test_vs_dense_random_geom(self, soup, layout, monkeypatch):
+        monkeypatch.setenv("MPENV_SC_LAYOUT", layout)
+        tris, s = soup
+        n = 256
+        o = jax.random.uniform(jax.random.PRNGKey(61), (n, 3),
+                               minval=-250, maxval=250)
+        d = jax.random.normal(jax.random.PRNGKey(62), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        self._check(s, o, d, 15.0)
+
+    def test_movement_like_casts_map(self, map_soup):
+        tris, s = map_soup
+        n = 128
+        o = jax.random.uniform(jax.random.PRNGKey(63), (n, 3),
+                               minval=-1500, maxval=1500)
+        o = o.at[:, 2].set(jax.random.uniform(
+            jax.random.PRNGKey(64), (n,), minval=-60.0, maxval=100.0))
+        ang = jax.random.uniform(jax.random.PRNGKey(65), (n,)) * 2 * np.pi
+        d = jnp.stack([jnp.cos(ang), jnp.sin(ang), jnp.zeros(n)], axis=-1)
+        self._check(s, o, d, 15.0)
+
+    def test_vertical_casts_map(self, map_soup):
+        """Straight-down ground-snap/fall casts (the d = (0,0,-1) shape the
+        movement chain issues every step)."""
+        tris, s = map_soup
+        n = 128
+        o = jax.random.uniform(jax.random.PRNGKey(66), (n, 3),
+                               minval=-1500, maxval=1500)
+        o = o.at[:, 2].set(jax.random.uniform(
+            jax.random.PRNGKey(67), (n,), minval=0.0, maxval=150.0))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+        self._check(s, o, d, 15.0)
+
+    def test_matches_rowmajor_kernel(self, map_soup):
+        """Planar and row-major kernels compute identical per-pair math —
+        t must match to fp noise and the winner index must tie-break the
+        same (lowest triangle row)."""
+        tris, s = map_soup
+        n = 256
+        o = jax.random.uniform(jax.random.PRNGKey(68), (n, 3),
+                               minval=-1200, maxval=1200)
+        o = o.at[:, 2].set(10.0)
+        d = jax.random.normal(jax.random.PRNGKey(69), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        from madrona_mp_env_tpu.ops.raycast_pallas import (
+            sphere_cast_planar_pallas, sphere_cast_vs_tris_pallas,
+        )
+
+        t_p, _ = sphere_cast_planar_pallas(
+            (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
+            15.0, s,
+        )
+        t_r, _ = sphere_cast_vs_tris_pallas(o, d, 15.0, s)
+        t_p, t_r = np.asarray(t_p), np.asarray(t_r)
+        assert (np.isfinite(t_p) == np.isfinite(t_r)).all()
+        both = np.isfinite(t_p)
+        assert np.allclose(t_p[both], t_r[both], rtol=1e-6, atol=1e-4)
