@@ -31,6 +31,9 @@ class MapData(NamedTuple):
     # per-cell raycast candidate tables (ops/culling.py); None -> the
     # kernels sweep the full soup (dense fallback)
     cells: Optional[object]
+    # short-range (movement-cast) candidate tables — exact by construction
+    # (ops/culling.py ShortTables); None -> dense movement casts
+    short: Optional[object]
 
     # navmesh
     nav_verts: jax.Array  # [V, 3]
@@ -230,11 +233,16 @@ def load_map(
         sc_counts = np.zeros((5,), np.int32)
         has_sc = False
 
+    from ..ops.culling import load_or_build_short_tables
+
+    short_tables = load_or_build_short_tables(tri_verts, cache_dir=scene_dir)
+
     return MapData(
         tris=soup,
         world_min=jnp.asarray(col.world_bounds_min),
         world_max=jnp.asarray(col.world_bounds_max),
         cells=cell_tables,
+        short=short_tables,
         nav_verts=jnp.asarray(tables.verts),
         nav_tri_indices=jnp.asarray(tables.tri_indices),
         nav_centroids=jnp.asarray(tables.centroids),

@@ -1190,12 +1190,17 @@ SC_BC = _env_int("MPENV_SC_BC", 1024)  # casts per block (lanes); 2048
 SC_TRI_CHUNK = 256  # triangle rows per epilogue chunk (sublanes)
 
 
-def _make_sc_kernel_planar(r: float, T: int, with_normal: bool = True):
+def _make_sc_kernel_planar(r: float, T: int, with_normal: bool = True,
+                           culled: bool = False):
+    """cols-layout sweep: tris on sublanes, casts on lanes. ``culled``
+    wraps it for scalar-prefetch dispatch: the kernel then takes
+    (block_cell_ref, planes, tri_block [1, K, 40], out) with the
+    per-block candidate table picked by the grid index map."""
     rr = float(r)
     n_chunks = -(-T // SC_TRI_CHUNK)
 
-    def kernel(pln_ref, tri_ref, out_ref):
-        p = pln_ref[:]  # [8, BC] f32: ox oy oz dx dy dz pad pad
+    def body(p, tri_slice):
+        # p: [8, BC] f32 values: ox oy oz dx dy dz pad pad
         ox, oy, oz = p[0:1], p[1:2], p[2:3]
         dx, dy, dz = p[3:4], p[4:5], p[5:6]
         inf = jnp.float32(np.inf)
@@ -1204,7 +1209,9 @@ def _make_sc_kernel_planar(r: float, T: int, with_normal: bool = True):
         i_best = jnp.full(ox.shape, jnp.float32(2 ** 30))
 
         for ci in range(n_chunks):
-            tc = tri_ref[ci * SC_TRI_CHUNK:(ci + 1) * SC_TRI_CHUNK, :]
+            tc = tri_slice(
+                ci * SC_TRI_CHUNK, min((ci + 1) * SC_TRI_CHUNK, T)
+            )
 
             def col(k):
                 return tc[:, k:k + 1]  # [TC, 1]
@@ -1309,23 +1316,54 @@ def _make_sc_kernel_planar(r: float, T: int, with_normal: bool = True):
 
             t_min_c = jnp.min(t, axis=0, keepdims=True)  # [1, BC]
             if with_normal:
-                row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) \
-                    + ci * SC_TRI_CHUNK
-                i_c = jnp.min(
-                    jnp.where(t == t_min_c, row, jnp.int32(2 ** 30)),
-                    axis=0, keepdims=True,
-                ).astype(jnp.float32)
+                if culled:
+                    # winner id = GLOBAL tri row carried in table col 40
+                    rid = tc[:, 40:41]
+                    i_c = jnp.min(
+                        jnp.where(t == t_min_c, rid, jnp.float32(2 ** 30)),
+                        axis=0, keepdims=True,
+                    )
+                else:
+                    row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) \
+                        + ci * SC_TRI_CHUNK
+                    i_c = jnp.min(
+                        jnp.where(t == t_min_c, row, jnp.int32(2 ** 30)),
+                        axis=0, keepdims=True,
+                    ).astype(jnp.float32)
                 # strict <: ties across chunks keep the earlier (lower-row)
                 # winner, matching the single-pass first-lane tie-break
                 take = t_min_c < t_best
                 i_best = jnp.where(take, i_c, i_best)
             t_best = jnp.minimum(t_best, t_min_c)
 
-        out_ref[0:1, :] = t_best
-        out_ref[1:2, :] = i_best
-        out_ref[2:8, :] = jnp.zeros(
+        return t_best, i_best
+
+    def write(out_ref, sl, t_best, i_best):
+        out_ref[0:1, sl] = t_best
+        out_ref[1:2, sl] = i_best
+        out_ref[2:8, sl] = jnp.zeros(
             (6,) + t_best.shape[1:], jnp.float32
         )
+
+    if culled:
+        # one block spans SC_CULL_G cell-groups (in-kernel loop): the
+        # per-block grid/DMA overhead (~5 us) dwarfed the 0.5 us of
+        # per-group sweep compute at single-group blocks
+        def kernel(pln_ref, tri_ref, out_ref):
+            G = pln_ref.shape[1] // SC_CULL_SEG
+            for g in range(G):
+                sl = slice(g * SC_CULL_SEG, (g + 1) * SC_CULL_SEG)
+                t_b, i_b = body(
+                    pln_ref[:, sl],
+                    lambda lo, hi, g=g: tri_ref[g * T + lo:g * T + hi, :],
+                )
+                write(out_ref, sl, t_b, i_b)
+    else:
+        def kernel(pln_ref, tri_ref, out_ref):
+            t_b, i_b = body(
+                pln_ref[:], lambda lo, hi: tri_ref[lo:hi, :]
+            )
+            write(out_ref, slice(None), t_b, i_b)
 
     return kernel
 
@@ -1471,3 +1509,145 @@ def sc_normals_from_idx(o, d, t, idx, soup):
     normal = jnp.where(is_face[:, None], face_n, edge_n)
     normal = jnp.where(missed[:, None], 0.0, normal)
     return normal.reshape(batch_shape + (3,))
+
+
+# ---------------------------------------------------------------------------
+# Cell-culled planar sphere casts (movement path)
+# ---------------------------------------------------------------------------
+#
+# Movement casts are xy-bounded (ops/culling.py short-table notes), so each
+# agent's 7-cast group only needs its cell's short candidate set (K_s ~ 48
+# vs 256 dense on simple_map). Agent groups are argsorted by cell with runs
+# padded to SC_CULL_AB groups; each [8, SC_CULL_AB*8] block then reads ONE
+# per-cell [K_s, 40] constants slice via scalar-prefetch. Sorting + the
+# gathers cost ~0.1 ms at 12k agents — measured, not assumed (the older
+# rank-matmul sorted path predates cheap XLA argsort/gather on TPU).
+
+SC_CULL_AB = _env_int("MPENV_SC_AB", 16)  # agent groups per cell-run pad
+SC_CULL_SEG = SC_CULL_AB * 8  # lanes per cell-group segment
+SC_CULL_G = _env_int("MPENV_SC_G", 8)  # cell groups per Pallas block
+
+_SC_CULL_CACHE = {}
+
+
+def _get_sc_culled(r: float, K: int, with_normal: bool):
+    ck = (r, K, with_normal, SC_CULL_AB, SC_CULL_G, _interp())
+    if ck in _SC_CULL_CACHE:
+        return _SC_CULL_CACHE[ck]
+
+    kernel = _make_sc_kernel_planar(r, K, with_normal, culled=True)
+    BCL = SC_CULL_SEG * SC_CULL_G  # lanes per block
+
+    def call(block_cell, planes, table):
+        # per-group tables pre-gathered in XLA (one cheap row gather) so
+        # every index map is static; each block sweeps SC_CULL_G groups
+        L = planes.shape[1]
+        cols = table.shape[-1]  # 41: sc consts + global-id column
+        tables_b = table.reshape(-1, K, cols)[block_cell].reshape(
+            -1, cols
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(L // BCL,),
+            in_specs=[
+                pl.BlockSpec((8, BCL), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((SC_CULL_G * K, cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, BCL), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, L), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary" if _interp()
+                                     else "parallel",)
+            ),
+            interpret=_interp(),
+        )(planes, tables_b)
+
+    @jax.custom_batching.custom_vmap
+    def sc_culled_flat(oxa, oya, oza, dxa, dya, dza, cells, cand, table):
+        """Agent-major comps [N, CPA] + per-agent cells [N] ->
+        (t [N, CPA], local winner row [N, CPA] f32)."""
+        from .culling import agent_sorted_layout
+
+        N, CPA = oxa.shape
+        C = table.shape[0] // K
+        layout = agent_sorted_layout(cells, C, SC_CULL_AB,
+                                     group_mult=SC_CULL_G)
+
+        def prep(x, fill):
+            x8 = jnp.pad(x, ((0, 0), (0, 8 - CPA)), constant_values=fill)
+            dummy = jnp.full((1, 8), fill, jnp.float32)
+            return jnp.concatenate([x8, dummy], axis=0)[layout.src]  # [S, 8]
+
+        # dummy casts (pad lanes + padded agent slots) originate far from
+        # every triangle: no overlap, no hit, all-inf
+        ox_s = prep(oxa, 1e9)
+        oy_s = prep(oya, 1e9)
+        oz_s = prep(oza, 1e9)
+        dx_s = prep(dxa, 0.0)
+        dy_s = prep(dya, 0.0)
+        dz_s = prep(dza, 0.0)
+        S = layout.S
+        planes = jnp.stack(
+            [x.reshape(S * 8) for x in
+             (ox_s, oy_s, oz_s, dx_s, dy_s, dz_s)]
+            + [jnp.zeros((S * 8,), jnp.float32)] * 2,
+            axis=0,
+        )  # [8, S*8] lane = slot*8 + cast
+        out = call(layout.block_cell, planes, table)
+        t_n = out[0].reshape(S, 8)[layout.slot]  # [N, 8]
+        i_n = out[1].reshape(S, 8)[layout.slot]
+        return t_n[:, :CPA], i_n[:, :CPA]
+
+    @sc_culled_flat.def_vmap
+    def _vmap(axis_size, in_batched, oxa, oya, oza, dxa, dya, dza, cells,
+              cand, table):
+        assert not in_batched[7] and not in_batched[8]
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        args = [
+            bcast(x, b)
+            for x, b in zip((oxa, oya, oza, dxa, dya, dza, cells),
+                            in_batched[:7])
+        ]
+        t, ix = sc_culled_flat(*args, cand, table)
+        return (
+            t.reshape((B, -1) + t.shape[1:]),
+            ix.reshape((B, -1) + ix.shape[1:]),
+        ), (True, True)
+
+    _SC_CULL_CACHE[ck] = sc_culled_flat
+    return sc_culled_flat
+
+
+def sphere_cast_agent_culled(o_comps, d_comps, r: float, cells, short,
+                             t_max=INF, with_normal: bool = True):
+    """Cell-culled grouped sphere casts, planar operands: o_comps/d_comps
+    (x, y, z) each [..., A, CPA] (agent-major, CPA <= 8 casts per agent);
+    cells [..., A] short-table cell per agent. Returns (t [..., A, CPA],
+    GLOBAL winner tri row [..., A, CPA] i32). Exact vs the dense sweep for
+    xy-bounded movement casts (see ops/culling.py short-table notes)."""
+    ox, oy, oz = o_comps
+    dx, dy, dz = d_comps
+    *batch, A, CPA = ox.shape
+    sc_flat = _get_sc_culled(float(r), short.K, with_normal)
+    t, i_glob = sc_flat(
+        ox.reshape(-1, CPA), oy.reshape(-1, CPA), oz.reshape(-1, CPA),
+        dx.reshape(-1, CPA), dy.reshape(-1, CPA), dz.reshape(-1, CPA),
+        cells.reshape(-1), short.cand, short.table,
+    )
+    t = jnp.where(t <= t_max, t, INF)
+    # the kernel's winner index is already the GLOBAL tri row (table col
+    # 40); sc_normals_from_idx clips the miss sentinel into range
+    idx_g = jnp.clip(i_glob.astype(jnp.int32), 0, 2 ** 24)
+    shp = tuple(batch) + (A, CPA)
+    return t.reshape(shp), idx_g.reshape(shp)

@@ -10,6 +10,8 @@ are the dominant env compute (SURVEY.md §3.4).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -203,13 +205,40 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
     is_prone = cur == Pose.Prone
 
     planar = _use_planar_casts(m)
+    use_short = (
+        planar and m.short is not None
+        and os.environ.get("MPENV_SC_CULL", "1") == "1"
+    )
+
+    if planar:
+        from ..ops.raycast import sphere_cast_planar
+        from ..ops.raycast_pallas import (
+            sc_normals_from_idx, sphere_cast_agent_culled,
+        )
+
+        if use_short:
+            from ..ops.culling import short_cell_index
+
+            short_cells = short_cell_index(m.short, state.pos)  # [A]
+
+        def planar_cast(o_comps, d_comps, with_normal=True):
+            # comps [A, CPA] agent-major; returns (t, global winner row).
+            # Only the 7-cast L1 batch is worth culling: the culled
+            # kernel pads every agent to 8 cast lanes, so 1-2-cast batches
+            # (L2/L3/fall) waste 6-7 of 8 lanes on dummies and the dense
+            # planar kernel beats it (trace-measured).
+            if use_short and o_comps[0].shape[-1] >= 7:
+                return sphere_cast_agent_culled(
+                    o_comps, d_comps, r, short_cells, m.short,
+                    with_normal=with_normal,
+                )
+            return sphere_cast_planar(
+                o_comps, d_comps, r, m.tris, with_normal=with_normal
+            )
 
     # ---- L1: slope + two forward casts + 4 unstick probes (all from x) ----
     down = jnp.broadcast_to(-up, x.shape)
     if planar:
-        from ..ops.raycast import sphere_cast_planar
-        from ..ops.raycast_pallas import sc_normals_from_idx
-
         xx, xy, xz = x[:, 0], x[:, 1], x[:, 2]
         vnx, vny = v_norm[:, 0], v_norm[:, 1]
         hb = buf * 0.5
@@ -220,29 +249,29 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
         o1x = jnp.stack([
             xx, xx + vnx * hb, xx + vnx * hb,
             xx - r2 * vnx, xx + r2 * vny, xx + r2 * vnx, xx - r2 * vny,
-        ], axis=0)  # [7, A]
+        ], axis=1)  # [A, 7]
         o1y = jnp.stack([
             xy, xy + vny * hb, xy + vny * hb,
             xy - r2 * vny, xy - r2 * vnx, xy + r2 * vny, xy + r2 * vnx,
-        ], axis=0)
+        ], axis=1)
         o1z = jnp.stack([
             xz + top, xz + low, xz + top,
             xz + low, xz + low, xz + low, xz + low,
-        ], axis=0)
-        d1x = jnp.stack([zero, vnx, vnx, vnx, -vny, -vnx, vny], axis=0)
-        d1y = jnp.stack([zero, vny, vny, vny, vnx, -vny, -vnx], axis=0)
-        d1z = jnp.stack([-jnp.ones_like(xx)] + [zero] * 6, axis=0)
-        t1p, idx1 = sphere_cast_planar(
-            (o1x, o1y, o1z), (d1x, d1y, d1z), r, m.tris
-        )  # [7, A]
+        ], axis=1)
+        d1x = jnp.stack([zero, vnx, vnx, vnx, -vny, -vnx, vny], axis=1)
+        d1y = jnp.stack([zero, vny, vny, vny, vnx, -vny, -vnx], axis=1)
+        d1z = jnp.stack([-jnp.ones_like(xx)] + [zero] * 6, axis=1)
+        t1p, idx1 = planar_cast((o1x, o1y, o1z), (d1x, d1y, d1z))  # [A, 7]
         # normals only for the three casts that consume them
-        o3 = jnp.stack([o1x[:3], o1y[:3], o1z[:3]], axis=-1)  # [3, A, 3]
-        d3 = jnp.stack([d1x[:3], d1y[:3], d1z[:3]], axis=-1)
-        n3 = sc_normals_from_idx(o3, d3, t1p[:3], idx1[:3], m.tris)
-        t_s, n_s = t1p[0], n3[0]
-        t_low, n_low = t1p[1], n3[1]
-        t_high, n_high = t1p[2], n3[2]
-        t_un = jnp.transpose(t1p[3:7], (1, 0))  # [A, 4]
+        o3 = jnp.stack([o1x[:, :3], o1y[:, :3], o1z[:, :3]], axis=-1)
+        d3 = jnp.stack([d1x[:, :3], d1y[:, :3], d1z[:, :3]], axis=-1)
+        n3 = sc_normals_from_idx(
+            o3, d3, t1p[:, :3], idx1[:, :3], m.tris
+        )  # [A, 3, 3]
+        t_s, n_s = t1p[:, 0], n3[:, 0]
+        t_low, n_low = t1p[:, 1], n3[:, 1]
+        t_high, n_high = t1p[:, 2], n3[:, 2]
+        t_un = t1p[:, 3:7]  # [A, 4]
         un_dirs = None  # planar L2 selects the best dir by component
     else:
         o_slope = x + up * top[:, None]
@@ -324,19 +353,19 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
         slide_dir = jnp.stack([sdx, sdy, jnp.zeros_like(sdx)], axis=-1)
 
         h_sel = jnp.where(high_hit, top, low)
-        o2x = jnp.stack([xx + vnx * low_dist, un_px], axis=0)  # [2, A]
-        o2y = jnp.stack([xy + vny * low_dist, un_py], axis=0)
-        o2z = jnp.stack([xz + h_sel, un_gcz], axis=0)
-        d2x = jnp.stack([sdx, jnp.zeros_like(sdx)], axis=0)
-        d2y = jnp.stack([sdy, jnp.zeros_like(sdy)], axis=0)
+        o2x = jnp.stack([xx + vnx * low_dist, un_px], axis=1)  # [A, 2]
+        o2y = jnp.stack([xy + vny * low_dist, un_py], axis=1)
+        o2z = jnp.stack([xz + h_sel, un_gcz], axis=1)
+        d2x = jnp.stack([sdx, jnp.zeros_like(sdx)], axis=1)
+        d2y = jnp.stack([sdy, jnp.zeros_like(sdy)], axis=1)
         d2z = jnp.stack(
-            [jnp.zeros_like(sdx), -jnp.ones_like(sdx)], axis=0
+            [jnp.zeros_like(sdx), -jnp.ones_like(sdx)], axis=1
         )
-        t2p, _ = sphere_cast_planar(
-            (o2x, o2y, o2z), (d2x, d2y, d2z), r, m.tris, with_normal=False
+        t2p, _ = planar_cast(
+            (o2x, o2y, o2z), (d2x, d2y, d2z), with_normal=False
         )
-        t_slide = t2p[0]
-        t_ground_un = t2p[1]
+        t_slide = t2p[:, 0]
+        t_ground_un = t2p[:, 1]
     else:
         best_dir = jnp.take_along_axis(
             un_dirs, best_dir_idx[:, None, None], axis=1
@@ -371,11 +400,13 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
     # ---- L3: ground snap under the slid position ----
     gc_pos = hit_pos + up * top[:, None]
     if planar:
-        t_ground, _ = sphere_cast_planar(
-            (gc_pos[:, 0], gc_pos[:, 1], gc_pos[:, 2]),
-            (jnp.zeros_like(top), jnp.zeros_like(top), -jnp.ones_like(top)),
-            r, m.tris, with_normal=False,
+        zc = jnp.zeros_like(top)
+        t3p, _ = planar_cast(
+            (gc_pos[:, 0:1], gc_pos[:, 1:2], gc_pos[:, 2:3]),
+            (zc[:, None], zc[:, None], -jnp.ones_like(top)[:, None]),
+            with_normal=False,
         )
+        t_ground = t3p[:, 0]
     else:
         t3, _ = _cast_group(
             m, gc_pos[:, None, :], down[:, None, :], r, cells,
@@ -415,11 +446,13 @@ def fall_system(cfg: EnvConfig, m: MapData, state: WorldState, cells=None):
         from ..ops.raycast import sphere_cast_planar
 
         zz = jnp.zeros_like(state.pos[:, 0])
-        t_ground, _ = sphere_cast_planar(
-            (state.pos[:, 0], state.pos[:, 1],
-             state.pos[:, 2] + (r + cast_offset)),
-            (zz, zz, zz - 1.0), r, m.tris, with_normal=False,
+        oc = (state.pos[:, 0:1], state.pos[:, 1:2],
+              state.pos[:, 2:3] + (r + cast_offset))
+        dc = (zz[:, None], zz[:, None], zz[:, None] - 1.0)
+        t4p, _ = sphere_cast_planar(
+            oc, dc, r, m.tris, with_normal=False
         )
+        t_ground = t4p[:, 0]
     else:
         o = state.pos + up * (r + cast_offset)
         down = jnp.broadcast_to(-up, o.shape)

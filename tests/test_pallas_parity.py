@@ -349,3 +349,67 @@ class TestSphereCastPlanarKernel:
         assert (np.isfinite(t_p) == np.isfinite(t_r)).all()
         both = np.isfinite(t_p)
         assert np.allclose(t_p[both], t_r[both], rtol=1e-6, atol=1e-4)
+
+
+class TestCulledMovementCasts:
+    """Short-table culled sphere casts vs the dense sweep, within the
+    movement-consumer contract (results beyond the UNSTICK_RANGE clamp are
+    equivalence classes — see ops/culling.py short-table notes)."""
+
+    def test_l1_style_casts_map(self, map_soup):
+        import madrona_mp_env_tpu as mp
+        from madrona_mp_env_tpu.assets.map_data import load_map
+        from madrona_mp_env_tpu.ops.raycast_pallas import (
+            sphere_cast_agent_culled,
+        )
+        from madrona_mp_env_tpu.ops.culling import short_cell_index
+
+        cfg = mp.EnvConfig(task=mp.Task.Zone, team_size=2)
+        m = load_map("data/simple_map", cfg)
+        assert m.short is not None
+
+        rng = np.random.RandomState(3)
+        A, CPA = 96, 7
+        pos = np.zeros((A, 3), np.float32)
+        pos[:, 0] = rng.uniform(-1900, 1900, A)
+        pos[:, 1] = rng.uniform(-1900, 1900, A)
+        pos[:, 2] = rng.uniform(0, 100, A)
+        ox = jnp.asarray(
+            pos[:, 0:1] + rng.uniform(-30, 30, (A, CPA)).astype(np.float32))
+        oy = jnp.asarray(
+            pos[:, 1:2] + rng.uniform(-30, 30, (A, CPA)).astype(np.float32))
+        oz = jnp.asarray(
+            pos[:, 2:3] + rng.uniform(0, 65, (A, CPA)).astype(np.float32))
+        ang = rng.uniform(0, 2 * np.pi, (A, CPA)).astype(np.float32)
+        dx = jnp.asarray(np.cos(ang))
+        dy = jnp.asarray(np.sin(ang))
+        dz = jnp.zeros((A, CPA), jnp.float32)
+        dx = dx.at[:, 0].set(0)
+        dy = dy.at[:, 0].set(0)
+        dz = dz.at[:, 0].set(-1)  # cast 0 straight down (slope/ground)
+
+        cells = short_cell_index(m.short, jnp.asarray(pos))
+        t_c, i_c = sphere_cast_agent_culled(
+            (ox, oy, oz), (dx, dy, dz), 15.0, cells, m.short
+        )
+        o = jnp.stack([ox, oy, oz], -1)
+        d = jnp.stack([dx, dy, dz], -1)
+        t_d, _ = rc._sphere_cast_vs_tris_dense(o, d, 15.0, m.tris)
+
+        CL = 64.0  # UNSTICK_RANGE: the tightest consumer clamp
+        tc2 = np.where(np.asarray(t_c) > CL, np.inf, np.asarray(t_c))
+        td2 = np.where(np.asarray(t_d) > CL, np.inf, np.asarray(t_d))
+        assert (np.isfinite(tc2) == np.isfinite(td2)).all()
+        both = np.isfinite(tc2) & np.isfinite(td2)
+        if both.any():
+            # 1e-2: the suite's sphere-cast bound (kernel's hoisted-consts
+            # formulation vs the dense sweep's direct one)
+            assert np.abs(tc2[both] - td2[both]).max() <= 1e-2
+        # down casts (cast 0) are exact at ANY distance (the xy grid
+        # covers all z)
+        t_c0 = np.asarray(t_c)[:, 0]
+        t_d0 = np.asarray(t_d)[:, 0]
+        assert (np.isfinite(t_c0) == np.isfinite(t_d0)).all()
+        b0 = np.isfinite(t_c0)
+        if b0.any():
+            assert np.abs(t_c0[b0] - t_d0[b0]).max() <= 1e-2
