@@ -874,12 +874,22 @@ def agent_sorted_layout(cells: jax.Array, C: int, ab: int,
 
     order = jnp.argsort(cells, stable=True)  # [N]
     sorted_cells = cells[order]
-    counts = jnp.zeros((C,), jnp.int32).at[cells].add(1)
+    # run starts / counts via vectorized binary search over the sorted keys
+    # (a scatter-add bincount measured ~0.1 ms — gathers/scatters on TPU
+    # serialize; searchsorted is log N vector work)
+    run_start = jnp.searchsorted(
+        sorted_cells, jnp.arange(C, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    run_end = jnp.searchsorted(
+        sorted_cells, jnp.arange(C, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    counts = run_end - run_start
     padded = ((counts + ab - 1) // ab) * ab
     cell_off = jnp.cumsum(padded) - padded  # exclusive
-    run_start = jnp.cumsum(counts) - counts
-    rank = jnp.arange(N, dtype=jnp.int32) - run_start[sorted_cells]
-    slot_sorted = (cell_off[sorted_cells] + rank).astype(jnp.int32)
+    # slot of sorted item j: cell_off[c] + (j - run_start[c]); the [C]->[N]
+    # expansion rides ONE small-table gather of the fused difference
+    offdiff = (cell_off - run_start)[sorted_cells]
+    slot_sorted = (offdiff + jnp.arange(N, dtype=jnp.int32)).astype(jnp.int32)
 
     src = jnp.full((S,), N, jnp.int32).at[slot_sorted].set(order)
     slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)

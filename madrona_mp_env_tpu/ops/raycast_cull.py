@@ -22,6 +22,7 @@ candidate sets.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -553,7 +554,7 @@ def sphere_cast_cull(o, d, r: float, cells, tables, soup, t_max=INF):
 # [W, A, F, A] broadcast temporaries in HBM; here everything stays in VMEM.
 
 _CAP_ROWS = 16
-WORLDS_PER_BLOCK = 8
+WORLDS_PER_BLOCK = int(os.environ.get("MPENV_CAP_WPB", "8"))
 
 
 def _make_cap_kernel(AF: int, A: int, radius: float, seg_h: float):
