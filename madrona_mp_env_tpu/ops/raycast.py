@@ -176,9 +176,28 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
     if components:
         assert zgroups is not None
         aligned = all(g % 8 == 0 for g in zgroups)
-        if (use_pallas() and aligned
-                and not (tables is not None and cells is not None
-                         and use_culling())):
+        legacy_cull = (
+            tables is not None and cells is not None and use_culling()
+        )
+        # fan culling only pays when the candidate sets are much smaller
+        # than the soup: K has a 128-lane floor, and the sorted layout
+        # pads ~15-70% extra fan slots, so on small maps (T/K < 4) the
+        # dense fan kernel wins (simple_map: T=256, K=128 -> dense)
+        fan_cull_wins = (
+            tables is not None
+            and soup.packed.shape[1] >= 4 * tables.K
+        )
+        mode = os.environ.get("MPENV_FAN_CULL", "auto")
+        fan_cull = mode == "1" or (mode == "auto" and fan_cull_wins)
+        if (use_pallas() and aligned and tables is not None
+                and cells is not None and not legacy_cull and fan_cull):
+            from .raycast_pallas import ray_fans_culled_planar
+
+            return ray_fans_culled_planar(
+                origins, zoffs, dirs, cells, tables, t_max,
+                zgroups=zgroups,
+            )
+        if use_pallas() and aligned and not legacy_cull:
             from .raycast_pallas import ray_fans_vs_tris_planar
 
             return ray_fans_vs_tris_planar(

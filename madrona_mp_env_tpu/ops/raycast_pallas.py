@@ -401,49 +401,203 @@ def _make_fan_kernel_v8(F: int, T: int, fpb: int, zgroups):
         # orig_ref: [FPB, 8] f32 (x y z z_g0..z_g4); d2_ref: [4, FPB*F]
         # bf16 (rows dx dy dz 0, lanes fan-major); tri_ref: [16, T] f32;
         # dirmat_ref: [8, 3T] bf16; out_ref: [FPB, F_out] f32
-        tc = tri_ref[:]
-        nx, ny, nz = tc[_NX:_NX + 1], tc[_NY:_NY + 1], tc[_NZ:_NZ + 1]
-        d0 = tc[_D0:_D0 + 1]
-        w1x, w1y, w1z = tc[_W1X:_W1X + 1], tc[_W1Y:_W1Y + 1], tc[_W1Z:_W1Z + 1]
-        c1 = tc[_C1:_C1 + 1]
-        w2x, w2y, w2z = tc[_W2X:_W2X + 1], tc[_W2Y:_W2Y + 1], tc[_W2Z:_W2Z + 1]
-        c2 = tc[_C2:_C2 + 1]
-
-        d2 = jnp.pad(d2_ref[:], ((0, 4), (0, 0)))  # [8, RL] bf16
-        dd = jax.lax.dot_general(
-            d2, dirmat_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [RL, 3T] ray rows, fan-major
-        dd = dd.reshape(fpb, F, 3 * T)
-
-        o = orig_ref[:]
-        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # [FPB, 1]
-        no2 = d0 - (ox * nx + oy * ny + oz * nz)  # [FPB, T]
-        u0 = ox * w1x + oy * w1y + oz * w1z + c1
-        v0 = ox * w2x + oy * w2y + oz * w2z + c2
-
-        inf = jnp.float32(np.inf)
-        row = 0
-        for g, glen in enumerate(zgroups):
-            zg = o[:, 3 + g:4 + g]  # [FPB, 1]
-            no2g = (no2 - zg * nz)[:, None, :]  # [FPB, 1, T]
-            u0g = (u0 + zg * w1z)[:, None, :]
-            v0g = (v0 + zg * w2z)[:, None, :]
-            nd = dd[:, row:row + glen, 0:T]
-            w1d = dd[:, row:row + glen, T:2 * T]
-            w2d = dd[:, row:row + glen, 2 * T:3 * T]
-            # parallel rays / padding tris need no guards (t degenerates
-            # to ±inf/NaN and every compare rejects)
-            t = _recip(no2g, nd)
-            u = u0g + t * w1d
-            v = v0g + t * w2d
-            hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            out_ref[:, row:row + glen] = jnp.min(
-                jnp.where(hit, t, inf), axis=2
-            )
-            row += glen
+        _fan_v8_body(
+            orig_ref[:], d2_ref[:], tri_ref[:], dirmat_ref[:],
+            out_ref, slice(None), F, T, fpb, zgroups,
+        )
 
     return kernel
+
+
+def _fan_v8_body(o, d2r, tc, dm, out_ref, out_rows, F, T, fpb, zgroups):
+    """The v8 fan sweep on block VALUES: o [fpb, 8]; d2r [4, fpb*F] bf16;
+    tc [16, T]; dm [8, 3T] bf16; writes out_ref[out_rows, col-slices]."""
+    nx, ny, nz = tc[_NX:_NX + 1], tc[_NY:_NY + 1], tc[_NZ:_NZ + 1]
+    d0 = tc[_D0:_D0 + 1]
+    w1x, w1y, w1z = tc[_W1X:_W1X + 1], tc[_W1Y:_W1Y + 1], tc[_W1Z:_W1Z + 1]
+    c1 = tc[_C1:_C1 + 1]
+    w2x, w2y, w2z = tc[_W2X:_W2X + 1], tc[_W2Y:_W2Y + 1], tc[_W2Z:_W2Z + 1]
+    c2 = tc[_C2:_C2 + 1]
+
+    d2 = jnp.pad(d2r, ((0, 4), (0, 0)))  # [8, RL] bf16
+    dd = jax.lax.dot_general(
+        d2, dm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [RL, 3T] ray rows, fan-major
+    dd = dd.reshape(fpb, F, 3 * T)
+
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # [FPB, 1]
+    no2 = d0 - (ox * nx + oy * ny + oz * nz)  # [FPB, T]
+    u0 = ox * w1x + oy * w1y + oz * w1z + c1
+    v0 = ox * w2x + oy * w2y + oz * w2z + c2
+
+    inf = jnp.float32(np.inf)
+    row = 0
+    for g, glen in enumerate(zgroups):
+        zg = o[:, 3 + g:4 + g]  # [FPB, 1]
+        no2g = (no2 - zg * nz)[:, None, :]  # [FPB, 1, T]
+        u0g = (u0 + zg * w1z)[:, None, :]
+        v0g = (v0 + zg * w2z)[:, None, :]
+        nd = dd[:, row:row + glen, 0:T]
+        w1d = dd[:, row:row + glen, T:2 * T]
+        w2d = dd[:, row:row + glen, 2 * T:3 * T]
+        # parallel rays / padding tris need no guards (t degenerates
+        # to ±inf/NaN and every compare rejects)
+        t = _recip(no2g, nd)
+        u = u0g + t * w1d
+        v = v0g + t * w2d
+        hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        out_ref[out_rows, row:row + glen] = jnp.min(
+            jnp.where(hit, t, inf), axis=2
+        )
+        row += glen
+
+
+FAN_CULL_FPB = _env_int("MPENV_FANC_FPB", 16)  # fans per cell group
+FAN_CULL_G = _env_int("MPENV_FANC_G", 4)  # cell groups per Pallas block
+
+
+def _make_fan_kernel_culled(F: int, K: int, zgroups):
+    """Cell-culled v8 fan kernel: each block sweeps FAN_CULL_G cell groups
+    of FAN_CULL_FPB fans; group g reads its own [16, K] / [8, 3K] table
+    slices (pre-gathered per group in XLA by block_cell)."""
+    assert sum(zgroups) == F and len(zgroups) <= MAX_ZGROUPS
+    assert all(g % 8 == 0 for g in zgroups)
+    fpb, G = FAN_CULL_FPB, FAN_CULL_G
+
+    def kernel(orig_ref, d2_ref, tri_ref, dirmat_ref, out_ref):
+        # orig [G*fpb, 8]; d2 [4, G*fpb*F]; tri [G*16, K];
+        # dirmat [G*8, 3K]; out [G*fpb, F_out]
+        for g in range(G):
+            _fan_v8_body(
+                orig_ref[g * fpb:(g + 1) * fpb, :],
+                d2_ref[:, g * fpb * F:(g + 1) * fpb * F],
+                tri_ref[g * 16:(g + 1) * 16, :],
+                dirmat_ref[g * 8:(g + 1) * 8, :],
+                out_ref, slice(g * fpb, (g + 1) * fpb),
+                F, K, fpb, zgroups,
+            )
+
+    return kernel
+
+
+_FAN_CULL_CACHE = {}
+
+
+def _get_fan_culled(F: int, K: int, zgroups):
+    ck = (F, K, zgroups, FAN_CULL_FPB, FAN_CULL_G, _interp())
+    if ck in _FAN_CULL_CACHE:
+        return _FAN_CULL_CACHE[ck]
+
+    fpb, G = FAN_CULL_FPB, FAN_CULL_G
+    F_out = -(-F // 128) * 128
+    kernel = _make_fan_kernel_culled(F, K, zgroups)
+
+    def call(block_cell, origs, d2, rayt, dirm):
+        S = origs.shape[0]
+        rayt_b = rayt[block_cell].reshape(-1, K)  # [Bgrp*16, K]
+        dirm_b = dirm[block_cell].reshape(-1, 3 * K)  # [Bgrp*8, 3K]
+        return pl.pallas_call(
+            kernel,
+            grid=(S // (fpb * G),),
+            in_specs=[
+                pl.BlockSpec((G * fpb, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, G * fpb * F), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G * 16, K), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G * 8, 3 * K), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G * fpb, F_out), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((S, F_out), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary" if _interp()
+                                     else "parallel",)
+            ),
+            interpret=_interp(),
+        )(origs, d2, rayt_b, dirm_b)
+
+    @jax.custom_batching.custom_vmap
+    def fan_culled_flat(origins, zg, dx, dy, dz, cells, rayt, dirm):
+        """origins [N, 3]; zg [N, Gz]; dx/dy/dz [N, F]; cells [N] ->
+        t [N, F]."""
+        from .culling import agent_sorted_layout
+
+        N = origins.shape[0]
+        C = rayt.shape[0]
+        Gz = zg.shape[1]
+        layout = agent_sorted_layout(cells, C, fpb, group_mult=G)
+        S = layout.S
+
+        origs8 = jnp.concatenate(
+            [origins, zg, jnp.zeros((N, 5 - Gz), jnp.float32)], axis=1
+        )
+        # dummy slots: origin far away + zero dirs -> nd = 0 -> all-miss
+        origs_s = jnp.concatenate(
+            [origs8, jnp.full((1, 8), 1e9, jnp.float32)], axis=0
+        )[layout.src]
+
+        def plane(x):
+            padded = jnp.concatenate(
+                [x, jnp.zeros((1, F), x.dtype)], axis=0
+            )[layout.src]  # [S, F]
+            return padded.reshape(S * F).astype(jnp.bfloat16)
+
+        d2 = jnp.stack(
+            [plane(dx), plane(dy), plane(dz),
+             jnp.zeros((S * F,), jnp.bfloat16)],
+            axis=0,
+        )  # [4, S*F]
+        out = call(layout.block_cell, origs_s, d2, rayt, dirm)
+        # full-row gather, THEN slice: a fused gather+column-slice lowers
+        # to a serial while-loop of [1, F] dynamic-slices (~10 ms/step);
+        # the barrier keeps XLA from re-fusing them
+        t_full = jax.lax.optimization_barrier(out[layout.slot])
+        return t_full[:, :F]
+
+    @fan_culled_flat.def_vmap
+    def _vmap(axis_size, in_batched, origins, zg, dx, dy, dz, cells,
+              rayt, dirm):
+        assert not in_batched[6] and not in_batched[7]
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        args = [
+            bcast(x, b)
+            for x, b in zip((origins, zg, dx, dy, dz, cells),
+                            in_batched[:6])
+        ]
+        out = fan_culled_flat(*args, rayt, dirm)
+        return out.reshape((B, -1) + out.shape[1:]), True
+
+    _FAN_CULL_CACHE[ck] = fan_culled_flat
+    return fan_culled_flat
+
+
+def ray_fans_culled_planar(origins, zg, dxyz, cells, tables, t_max=INF,
+                           zgroups=None):
+    """Cell-culled component-planar sensor fans: per-agent candidate
+    tables (ops/culling.py CellTables) instead of the full soup.
+    origins [..., 3]; zg [..., G]; dxyz = (dx, dy, dz) [..., F] planes;
+    cells [...] per-fan PVS cell. Returns t [..., F] (inf on miss)."""
+    dx, dy, dz = dxyz
+    F = dx.shape[-1]
+    fan_flat = _get_fan_culled(F, tables.K, tuple(zgroups))
+    # v8 direction tables: rows 0-2 of the DIR_K-padded per-cell matrix
+    dirm8 = tables.ray_dir_packed[:, :8, :]
+    t = fan_flat(origins, zg, dx, dy, dz, cells, tables.ray_packed, dirm8)
+    if t_max is not INF:
+        t = jnp.where(t <= t_max, t, INF)
+    return t
 
 
 _FAN_PLANAR_CACHE = {}

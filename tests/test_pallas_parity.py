@@ -413,3 +413,48 @@ class TestCulledMovementCasts:
         b0 = np.isfinite(t_c0)
         if b0.any():
             assert np.abs(t_c0[b0] - t_d0[b0]).max() <= 1e-2
+
+
+class TestCulledFanKernel:
+    """Cell-culled sensor fan (forced on via MPENV_FAN_CULL=1) vs the
+    dense-soup fan kernel and the dense sweep."""
+
+    def test_culled_vs_dense_map(self, map_soup, monkeypatch):
+        monkeypatch.setenv("MPENV_FAN_CULL", "1")
+        import madrona_mp_env_tpu as mp
+        from madrona_mp_env_tpu.assets.map_data import load_map
+
+        cfg = mp.EnvConfig(task=mp.Task.Zone, team_size=2)
+        m = load_map("data/simple_map", cfg)
+        if m.cells is None:
+            pytest.skip("simple_map culling tables not built")
+
+        N = 32
+        zgroups = (8, 16, 16)
+        F = sum(zgroups)
+        base = jax.random.uniform(jax.random.PRNGKey(81), (N, 3),
+                                  minval=-1500, maxval=1500)
+        base = base.at[:, 2].set(10.0)
+        zg = jax.random.uniform(jax.random.PRNGKey(82), (N, len(zgroups)),
+                                minval=15.0, maxval=65.0)
+        d = jax.random.normal(jax.random.PRNGKey(83), (N, F, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+
+        from madrona_mp_env_tpu.ops.culling import cell_index
+
+        cells = cell_index(m.cells, base)
+        t_c = rc.ray_fans_vs_tris(
+            base, zg, (dx, dy, dz), m.tris, cells=cells, tables=m.cells,
+            zgroups=zgroups,
+        )
+        # dense reference sweep at per-ray z
+        reps = np.asarray(zgroups)
+        z_perray = jnp.repeat(zg, jnp.asarray(reps), axis=-1,
+                              total_repeat_length=F)
+        o = base[:, None, :] + jnp.stack(
+            [jnp.zeros_like(z_perray), jnp.zeros_like(z_perray), z_perray],
+            axis=-1,
+        )
+        t_d = rc._ray_vs_tris_dense(o, d, m.tris)
+        _assert_ray_parity(t_c, t_d, rel_tol=2e-2, mismatch_frac=0.01)
