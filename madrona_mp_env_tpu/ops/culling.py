@@ -887,9 +887,15 @@ def agent_sorted_layout(cells: jax.Array, C: int, ab: int,
     padded = ((counts + ab - 1) // ab) * ab
     cell_off = jnp.cumsum(padded) - padded  # exclusive
     # slot of sorted item j: cell_off[c] + (j - run_start[c]); the [C]->[N]
-    # expansion rides ONE small-table gather of the fused difference
-    offdiff = (cell_off - run_start)[sorted_cells]
-    slot_sorted = (offdiff + jnp.arange(N, dtype=jnp.int32)).astype(jnp.int32)
+    # expansion is a one-hot masked sum (a [N]-gather from the small table
+    # serializes on TPU at ~10 ns/element; the [N, C] compare+sum is
+    # full-vector work)
+    offdiff = cell_off - run_start  # [C]
+    oh = sorted_cells[:, None] == jnp.arange(C, dtype=jnp.int32)  # [N, C]
+    offdiff_n = jnp.sum(jnp.where(oh, offdiff[None, :], 0), axis=-1)
+    slot_sorted = (
+        offdiff_n + jnp.arange(N, dtype=jnp.int32)
+    ).astype(jnp.int32)
 
     src = jnp.full((S,), N, jnp.int32).at[slot_sorted].set(order)
     slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)

@@ -557,18 +557,20 @@ _CAP_ROWS = 16
 WORLDS_PER_BLOCK = int(os.environ.get("MPENV_CAP_WPB", "8"))
 
 
-def _make_cap_kernel(AF: int, A: int, radius: float, seg_h: float):
+def _make_cap_kernel(AF: int, A: int, radius: float, seg_h: float,
+                     derive_origins: bool = False, F_real: int = 0):
+    """derive_origins: the rays block carries only [zoff dx dy dz] rows;
+    per-ray origin xy/base-z and the caster index are reconstructed
+    in-kernel (self = lane // F by exact float floor; origin = one-hot
+    masked sum over the capsule rows) — halves the XLA-side operand stack
+    and kills the [W, A, F] origin broadcasts."""
     rr = float(radius)
     sh = float(seg_h)
     WPB = WORLDS_PER_BLOCK
 
     def kernel(rays_ref, caps_ref, t_ref, idx_ref):
         for w in range(WPB):
-            r = rays_ref[w]  # [8, AF]: ox oy oz dx dy dz self_idx pad
-            ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
-            dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
-            self_idx = r[6:7, :]
-
+            r = rays_ref[w]
             caps = caps_ref[w]  # [16, 8]: px py pz alive
             shape = (_CAP_ROWS, AF)
 
@@ -583,6 +585,28 @@ def _make_cap_kernel(AF: int, A: int, radius: float, seg_h: float):
             cap_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(
                 jnp.float32
             )
+
+            if derive_origins:
+                # rows: zoff dx dy dz (per-ray); lanes are a*F_real + f,
+                # pad lanes map to agent >= A and always miss
+                F = F_real
+                zoff = r[0:1, :]
+                dx, dy, dz = r[1:2, :], r[2:3, :], r[3:4, :]
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, AF), 1
+                ).astype(jnp.float32)
+                self_idx = jnp.floor((lane + 0.5) * (1.0 / F))
+                oh = cap_i == self_idx  # [16, AF]
+                ox = jnp.sum(jnp.where(oh, px, 0.0), axis=0, keepdims=True)
+                oy = jnp.sum(jnp.where(oh, py, 0.0), axis=0, keepdims=True)
+                ozb = jnp.sum(jnp.where(oh, pz, 0.0), axis=0, keepdims=True)
+                oz = ozb + zoff
+            else:
+                # rows: ox oy oz dx dy dz self_idx pad
+                ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
+                dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
+                self_idx = r[6:7, :]
+
             valid = alive & (cap_i != self_idx) & (cap_i < float(A))
 
             # capsule segment: p0 = base + (0,0,r), axis +z, length sh
@@ -632,12 +656,14 @@ def _make_cap_kernel(AF: int, A: int, radius: float, seg_h: float):
 _CAP_CACHE = {}
 
 
-def _get_cap_kernel(AF_pad: int, A: int, radius: float, seg_h: float):
-    ck = (AF_pad, A, radius, seg_h, _interp())
+def _get_cap_kernel(AF_pad: int, A: int, radius: float, seg_h: float,
+                    derive_origins: bool = False, F_real: int = 0):
+    ck = (AF_pad, A, radius, seg_h, derive_origins, F_real, _interp())
     if ck in _CAP_CACHE:
         return _CAP_CACHE[ck]
 
-    kernel = _make_cap_kernel(AF_pad, A, radius, seg_h)
+    kernel = _make_cap_kernel(AF_pad, A, radius, seg_h,
+                              derive_origins=derive_origins, F_real=F_real)
 
     def call(rays, caps):
         W = rays.shape[0]
@@ -756,29 +782,24 @@ def _get_cap_flat_planar(A: int, F: int, radius: float, seg_h: float):
 
     def _run(pos, zoff, dx, dy, dz, alive):
         W = pos.shape[0]
-        shape = (W, A, F)
-        ox = jnp.broadcast_to(pos[:, :, 0:1], shape).reshape(W, AF)
-        oy = jnp.broadcast_to(pos[:, :, 1:2], shape).reshape(W, AF)
-        oz = (pos[:, :, 2:3] + zoff).reshape(W, AF)
-        self_f = jnp.broadcast_to(
-            jnp.arange(A, dtype=jnp.float32)[None, :, None], shape
-        ).reshape(W, AF)
+        # origins + caster index are reconstructed in-kernel from the
+        # capsule table (derive_origins): only per-ray rows ship
         rays = jnp.stack(
             [
-                ox, oy, oz,
+                zoff.reshape(W, AF),
                 dx.reshape(W, AF), dy.reshape(W, AF), dz.reshape(W, AF),
-                self_f, jnp.zeros((W, AF), jnp.float32),
             ],
             axis=1,
-        )  # [W, 8, AF]
-        rays = jnp.pad(rays, ((0, 0), (0, 0), (0, AF_pad - AF)))
+        )  # [W, 4, AF]
+        rays = jnp.pad(rays, ((0, 0), (0, 4), (0, AF_pad - AF)))
 
         caps = jnp.concatenate(
             [pos, alive.astype(jnp.float32)[..., None]], axis=-1
         )  # [W, A, 4]
         caps = jnp.pad(caps, ((0, 0), (0, _CAP_ROWS - A), (0, 4)))
 
-        call = _get_cap_kernel(AF_pad, A, radius, seg_h)
+        call = _get_cap_kernel(AF_pad, A, radius, seg_h,
+                               derive_origins=True, F_real=F)
         t, idx = call(rays, caps)
         t = t[:, 0, :AF].reshape(W, A, F)
         idx = idx[:, 0, :AF].reshape(W, A, F)

@@ -64,7 +64,15 @@ def plan_bot_actions(
     start_tri = _nearest_nav_tri(m, pos2)  # [A]
     goal_tri = _nearest_nav_tri(m, zone_center)  # scalar
 
-    next_tri = m.nav_next_hop[start_tri, goal_tri]  # [A]
+    # goal_tri is a per-world scalar: slice its next-hop column
+    # (dynamic-slice), then resolve the per-agent entry by a one-hot
+    # masked sum — both the fused 2D gather and a batched [A]-gather
+    # serialize on TPU (~10 ns/element)
+    goal_col = jax.lax.dynamic_index_in_dim(
+        m.nav_next_hop, goal_tri, axis=1, keepdims=False
+    )  # [T_nav]
+    st_oh = start_tri[:, None] == jnp.arange(goal_col.shape[0])  # [A, T]
+    next_tri = jnp.sum(jnp.where(st_oh, goal_col[None, :], 0), axis=-1)
     at_goal = next_tri == goal_tri
     unreachable = next_tri == -1
     waypoint = jnp.where(

@@ -153,16 +153,22 @@ def fire_system(
     victim = hit_agent  # [A]
     victim_valid = should_fire & (victim >= 0)
     v_clamped = jnp.clip(victim, 0, A - 1)
-    same_team = teams[v_clamped] == teams
-    victim_invincible = state.respawn_steps[v_clamped] > 0
+    # one-hot contractions instead of index gathers: XLA TPU gathers
+    # serialize (~10 ns/element); A is 12, so the [A, A] masked sums are
+    # full-vector work
+    v_oh = v_clamped[:, None] == self_idx[None, :]  # [A, A]
+    victim_team = jnp.sum(jnp.where(v_oh, teams[None, :], 0), axis=-1)
+    same_team = victim_team == teams
+    victim_invincible = jnp.sum(
+        jnp.where(v_oh, (state.respawn_steps > 0)[None, :], False), axis=-1
+    ).astype(bool)
     hit_success = victim_valid & (~same_team) & (~victim_invincible)
 
     landed_shot_on = jnp.where(hit_success, victim, -1)
 
     # kill if victim hp <= dmg (pre-damage hp, parallel semantics)
-    successful_kill = hit_success & (
-        state.hp[v_clamped] <= dmg_per_bullet
-    )
+    victim_hp = jnp.sum(jnp.where(v_oh, state.hp[None, :], 0.0), axis=-1)
+    successful_kill = hit_success & (victim_hp <= dmg_per_bullet)
 
     # --- scatter damage into victims' attacker slots ---
     # damage_dealt[victim, attacker_offset] = dmg

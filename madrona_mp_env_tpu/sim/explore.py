@@ -40,15 +40,24 @@ def explore_visited_system(cfg: EnvConfig, state: WorldState):
     word = cx >> 5
     bit = (cx & 31).astype(jnp.uint32)
     A = cfg.num_agents
-    ar = jnp.arange(A)
+    H = consts.explore_grid_height
+    from .types import EXPLORE_WORDS
 
-    cur_bits = state.explore_bits[ar, cy, word]
+    # one-hot masked read/update on the flat [A, H*W] bit array: the
+    # per-agent (cy, word) gather + scatter pair serializes on TPU
+    # (~0.3 ms/step at 12k agents); the mask compare + OR is full-vector
+    flat = state.explore_bits.reshape(A, H * EXPLORE_WORDS)
+    sel = cy * EXPLORE_WORDS + word  # [A]
+    mask = sel[:, None] == jnp.arange(H * EXPLORE_WORDS)  # [A, H*W]
+    cur_bits = jnp.sum(
+        jnp.where(mask, flat, jnp.uint32(0)), axis=-1, dtype=jnp.uint32
+    )
     already = ((cur_bits >> bit) & 1) == 1
 
-    new_bits = cur_bits | (jnp.uint32(1) << bit)
-    explore_bits = state.explore_bits.at[ar, cy, word].set(
-        jnp.where(in_grid, new_bits, cur_bits)
-    )
+    setbit = (jnp.uint32(1) << bit)[:, None]  # [A, 1]
+    explore_bits = jnp.where(
+        mask & in_grid[:, None], flat | setbit, flat
+    ).reshape(A, H, EXPLORE_WORDS)
 
     far_enough = jnp.sum(delta * delta, axis=-1) > 2.0
     newly = in_grid & (~already) & far_enough

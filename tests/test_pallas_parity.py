@@ -458,3 +458,48 @@ class TestCulledFanKernel:
         )
         t_d = rc._ray_vs_tris_dense(o, d, m.tris)
         _assert_ray_parity(t_c, t_d, rel_tol=2e-2, mismatch_frac=0.01)
+
+
+class TestCapsulePlanarDerive:
+    def test_planar_vs_explicit(self):
+        """fan_capsules_planar (in-kernel origin/caster reconstruction)
+        must match the explicit-operand capsule kernel exactly."""
+        from madrona_mp_env_tpu.ops.raycast_cull import (
+            fan_capsules, fan_capsules_planar,
+        )
+
+        rng = np.random.RandomState(5)
+        W, A, F = 4, 12, 104
+        pos = jnp.asarray(rng.uniform(-500, 500, (W, A, 3)), jnp.float32)
+        zoff = jnp.asarray(rng.uniform(10, 60, (W, A, F)), jnp.float32)
+        d = rng.normal(size=(W, A, F, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        alive = jnp.asarray(rng.rand(W, A) > 0.2)
+        r, seg_h = 15.0, 35.0
+
+        t_p, i_p = jax.vmap(
+            lambda p, z, dx, dy, dz, al: fan_capsules_planar(
+                p, z, (dx, dy, dz), al, r, seg_h
+            )
+        )(pos, zoff, d[..., 0], d[..., 1], d[..., 2], alive)
+
+        o = pos[:, :, None, :] + jnp.stack(
+            [jnp.zeros_like(zoff), jnp.zeros_like(zoff), zoff], axis=-1
+        )
+        self_idx = jnp.broadcast_to(
+            jnp.arange(A, dtype=jnp.int32)[None, :, None], (W, A, F)
+        )
+        t_e, i_e = jax.vmap(
+            lambda oo, dd, si, p, al: fan_capsules(
+                oo, dd, si, p, al, r, seg_h
+            )
+        )(o, d, self_idx, pos, alive)
+
+        np.testing.assert_allclose(
+            np.asarray(t_p), np.asarray(t_e), rtol=1e-6, atol=1e-4
+        )
+        hit = np.isfinite(np.asarray(t_p))
+        np.testing.assert_array_equal(
+            np.asarray(i_p)[hit], np.asarray(i_e)[hit]
+        )
