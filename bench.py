@@ -43,7 +43,7 @@ def bench_train(args):
         num_bptt_chunks=4,
         num_train_policies=args.pbt,
         ppo=PPOConfig(num_epochs=2, num_minibatches=4),
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         seed=5,
     )
     env = mp.Env(cfg, scene, num_worlds=args.num_worlds, seed=5)
@@ -85,7 +85,9 @@ def main():
     ap.add_argument("--steps-per-update", type=int, default=40)
     ap.add_argument("--num-updates", type=int, default=3)
     ap.add_argument("--pbt", type=int, default=1)
-    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--f32", action="store_true",
+                    help="train in f32 (default bf16 — the reference's "
+                         "headline curriculum config, BASELINE.md)")
     args = ap.parse_args()
 
     if args.cpu:

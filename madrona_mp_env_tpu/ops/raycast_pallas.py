@@ -236,9 +236,10 @@ FANS_PER_BLOCK = _env_int("MPENV_FPB", 32)  # dd intermediate is
 def _recip(num, den):
     """num / den elementwise; MPENV_RECIP picks the engine (in-situ A/B:
     the microbenchmark issue rates of approx-reciprocal vs exact divide
-    do not predict fused-kernel behavior on v5e)."""
+    do not predict fused-kernel behavior on v5e). bf16 operands always
+    divide (pl.reciprocal is f32-only)."""
     mode = os.environ.get("MPENV_RECIP", "approx")
-    if mode == "div":
+    if mode == "div" or num.dtype == jnp.bfloat16:
         return num / den
     return num * pl.reciprocal(den, approx=True)
 
@@ -411,7 +412,11 @@ def _make_fan_kernel_v8(F: int, T: int, fpb: int, zgroups):
 
 def _fan_v8_body(o, d2r, tc, dm, out_ref, out_rows, F, T, fpb, zgroups):
     """The v8 fan sweep on block VALUES: o [fpb, 8]; d2r [4, fpb*F] bf16;
-    tc [16, T]; dm [8, 3T] bf16; writes out_ref[out_rows, col-slices]."""
+    tc [16, T]; dm [8, 3T] bf16; writes out_ref[out_rows, col-slices].
+    (A bf16 epilogue variant was tried: v5e Mosaic rejects bf16 vector
+    compares — "Target does not support this comparison".)"""
+    cdt = jnp.float32
+
     nx, ny, nz = tc[_NX:_NX + 1], tc[_NY:_NY + 1], tc[_NZ:_NZ + 1]
     d0 = tc[_D0:_D0 + 1]
     w1x, w1y, w1z = tc[_W1X:_W1X + 1], tc[_W1Y:_W1Y + 1], tc[_W1Z:_W1Z + 1]
@@ -422,8 +427,8 @@ def _fan_v8_body(o, d2r, tc, dm, out_ref, out_rows, F, T, fpb, zgroups):
     d2 = jnp.pad(d2r, ((0, 4), (0, 0)))  # [8, RL] bf16
     dd = jax.lax.dot_general(
         d2, dm, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [RL, 3T] ray rows, fan-major
+        preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
+    ).astype(cdt)  # [RL, 3T] ray rows, fan-major
     dd = dd.reshape(fpb, F, 3 * T)
 
     ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # [FPB, 1]
@@ -435,9 +440,9 @@ def _fan_v8_body(o, d2r, tc, dm, out_ref, out_rows, F, T, fpb, zgroups):
     row = 0
     for g, glen in enumerate(zgroups):
         zg = o[:, 3 + g:4 + g]  # [FPB, 1]
-        no2g = (no2 - zg * nz)[:, None, :]  # [FPB, 1, T]
-        u0g = (u0 + zg * w1z)[:, None, :]
-        v0g = (v0 + zg * w2z)[:, None, :]
+        no2g = (no2 - zg * nz)[:, None, :].astype(cdt)  # [FPB, 1, T]
+        u0g = (u0 + zg * w1z)[:, None, :].astype(cdt)
+        v0g = (v0 + zg * w2z)[:, None, :].astype(cdt)
         nd = dd[:, row:row + glen, 0:T]
         w1d = dd[:, row:row + glen, T:2 * T]
         w2d = dd[:, row:row + glen, 2 * T:3 * T]
@@ -448,7 +453,7 @@ def _fan_v8_body(o, d2r, tc, dm, out_ref, out_rows, F, T, fpb, zgroups):
         v = v0g + t * w2d
         hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         out_ref[out_rows, row:row + glen] = jnp.min(
-            jnp.where(hit, t, inf), axis=2
+            jnp.where(hit, t.astype(jnp.float32), inf), axis=2
         )
         row += glen
 

@@ -131,6 +131,9 @@ class PolicyLSTM(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            # BPTT chunks are short (10): unrolling removes the while-loop
+            # iteration + output-stacking overhead per step
+            unroll=True,
         )
         _, outs = scan(self, rnn_start_state, (xs, dones))
         return outs

@@ -52,14 +52,18 @@ class PrefixCommon(nn.Module):
 
     @nn.compact
     def __call__(self, obs: Dict[str, jax.Array], train=False):
-        fwd = obs["fwd_lidar"]
-        rear = obs["rear_lidar"]
-        fwd = EmbedBlock(self.num_embed_channels, self.dtype, name="fwd_lidar_embed")(
-            fwd.reshape(*fwd.shape[:-3], -1)
-        )
-        rear = EmbedBlock(self.num_embed_channels, self.dtype, name="rear_lidar_embed")(
-            rear.reshape(*rear.shape[:-3], -1)
-        )
+        def _flat_lidar(x):
+            # accepts structured [..., h, w, 4] (env obs) or pre-flattened
+            # [..., h*w*4] (trainer rollout buffers store lidar flat to
+            # dodge the TPU minor-dim padding blowup)
+            if x.shape[-1] == 4:
+                return x.reshape(*x.shape[:-3], -1)
+            return x
+
+        fwd = EmbedBlock(self.num_embed_channels, self.dtype,
+                         name="fwd_lidar_embed")(_flat_lidar(obs["fwd_lidar"]))
+        rear = EmbedBlock(self.num_embed_channels, self.dtype,
+                          name="rear_lidar_embed")(_flat_lidar(obs["rear_lidar"]))
 
         self_pos_enc = sinusoidal_embedding(obs["self_pos"]).astype(self.dtype)
         self_features = jnp.concatenate(

@@ -234,7 +234,15 @@ class TrainingManager:
         return flat.reshape((self.W, self.A) + tail)
 
     def _policy_obs(self, obs):
-        return {k: obs[k] for k in POLICY_OBS_KEYS}
+        out = {k: obs[k] for k in POLICY_OBS_KEYS}
+        # store lidar FLAT in the rollout buffers: the policy flattens the
+        # [h, w, c] planes anyway, and scan-stacked [..., h, w, 4] buffers
+        # pad the 4-wide minor dim to 128 lanes on TPU (6.4x HBM blowup —
+        # an 8192-world rollout would not fit otherwise)
+        for k in ("fwd_lidar", "rear_lidar"):
+            v = out[k]
+            out[k] = v.reshape(v.shape[:-3] + (-1,))
+        return out
 
     # -------------------------------------------------- init
     def init(self, seed: Optional[int] = None) -> TrainState:
@@ -481,27 +489,52 @@ class TrainingManager:
         adv = adv.reshape(K * L, E, BE).reshape(K, L, E, BE)
         ret = ret.reshape(K * L, E, BE).reshape(K, L, E, BE)
 
-        # reorganize data as sample units: per policy, (K * BE) sequences of
-        # length L. Leaves -> [E, K*BE, L, ...]
-        def unitize(x):
-            # [K, L, E, BE, ...] -> [E, K*BE, L, ...]
+        # reorganize data as sample units: per policy, (K * BE) sequences
+        # of length L — stored FLAT per unit ([E, K*BE, L*feat]) so the
+        # epoch shuffle gathers contiguous rows. With structured tails XLA
+        # picks a units-minor layout for these buffers and the minibatch
+        # gather degrades to a strided ~0.5 GB/s sweep (~0.7 s/update).
+        def unitize_flat(x):
+            # [K, L, E, BE, ...] -> [E, K*BE, L*prod(tail)]
             x = jnp.moveaxis(x, 2, 0)  # [E, K, L, BE, ...]
             x = jnp.swapaxes(x, 2, 3)  # [E, K, BE, L, ...]
-            return x.reshape((E, K * BE, L) + x.shape[4:])
+            return x.reshape((E, K * BE, -1))
 
+        def unit_tail(x):
+            return (L,) + x.shape[4:]
+
+        def unitize_tree(tree):
+            leaves, tdef = jax.tree_util.tree_flatten(tree)
+            flat = jax.tree_util.tree_unflatten(
+                tdef, [unitize_flat(l) for l in leaves]
+            )
+            return flat, (tdef, [unit_tail(l) for l in leaves])
+
+        def restore_tree(flat_tree, spec):
+            tdef, tails = spec
+            leaves = jax.tree_util.tree_flatten(flat_tree)[0]
+            return jax.tree_util.tree_unflatten(
+                tdef,
+                [x.reshape(x.shape[:2] + t) for x, t in zip(leaves, tails)],
+            )
+
+        obs_flat, obs_spec = unitize_tree(outs["obs"])
+        act_flat, act_spec = unitize_tree(outs["actions"])
+        lp_flat, lp_spec = unitize_tree(outs["log_probs"])
         data = {
-            "obs": jax.tree_util.tree_map(unitize, outs["obs"]),
-            "actions": jax.tree_util.tree_map(unitize, outs["actions"]),
-            "log_probs": jax.tree_util.tree_map(unitize, outs["log_probs"]),
-            "values": unitize(outs["values"]),
-            "dones": unitize(outs["dones"]),
-            "adv": unitize(adv),
-            "ret": unitize(ret),
+            "obs": obs_flat,
+            "actions": act_flat,
+            "log_probs": lp_flat,
+            "values": unitize_flat(outs["values"]),
+            "dones": unitize_flat(outs["dones"]),
+            "adv": unitize_flat(adv),
+            "ret": unitize_flat(ret),
         }
-        # rnn_starts: [K, 2, 2, E, BE, H] -> [E, K*BE, 2, 2, H]
+        scalar_tail = (L,)
+        # rnn_starts: [K, 2, 2, E, BE, H] -> [E, K*BE, 2*2*H] flat
         rs = jnp.moveaxis(rnn_starts, 3, 0)  # [E, K, 2, 2, BE, H]
         rs = jnp.moveaxis(rs, 4, 2)  # [E, K, BE, 2, 2, H]
-        rnn_units = rs.reshape(E, K * BE, 2, 2, policy_mod.RNN_HIDDEN)
+        rnn_units = rs.reshape(E, K * BE, -1)
 
         num_units = K * BE
         assert num_units % pcfg.num_minibatches == 0
@@ -556,19 +589,29 @@ class TrainingManager:
                 def gather_e(x):
                     return jax.vmap(lambda d, i: d[i])(x, idx)
 
+                def unscalar(x):
+                    return x.reshape(x.shape[:2] + scalar_tail)
+
                 batch = {
-                    "obs": jax.tree_util.tree_map(gather_e, data["obs"]),
-                    "actions": jax.tree_util.tree_map(
-                        gather_e, data["actions"]
+                    "obs": restore_tree(
+                        jax.tree_util.tree_map(gather_e, data["obs"]),
+                        obs_spec,
                     ),
-                    "log_probs": jax.tree_util.tree_map(
-                        gather_e, data["log_probs"]
+                    "actions": restore_tree(
+                        jax.tree_util.tree_map(gather_e, data["actions"]),
+                        act_spec,
                     ),
-                    "values": gather_e(data["values"]),
-                    "dones": gather_e(data["dones"]),
-                    "adv": gather_e(data["adv"]),
-                    "ret": gather_e(data["ret"]),
-                    "rnn": gather_e(rnn_units),
+                    "log_probs": restore_tree(
+                        jax.tree_util.tree_map(gather_e, data["log_probs"]),
+                        lp_spec,
+                    ),
+                    "values": unscalar(gather_e(data["values"])),
+                    "dones": unscalar(gather_e(data["dones"])),
+                    "adv": unscalar(gather_e(data["adv"])),
+                    "ret": unscalar(gather_e(data["ret"])),
+                    "rnn": gather_e(rnn_units).reshape(
+                        (E, mb, 2, 2, policy_mod.RNN_HIDDEN)
+                    ),
                 }
 
                 def update_one(p, os, b, lr):
