@@ -90,6 +90,10 @@ class MapData(NamedTuple):
     curr_spawn_counts: jax.Array  # [5] i32
     has_spawn_curriculum: bool  # static
 
+    # sensor-ray candidate tables for the v9 transposed fan kernel
+    # (ops/culling.py RayTables); None -> dense fan fallback
+    ray_cells: Optional[object] = None
+
     @property
     def max_dist(self):
         return jnp.linalg.norm(self.world_max - self.world_min)
@@ -233,9 +237,17 @@ def load_map(
         sc_counts = np.zeros((5,), np.int32)
         has_sc = False
 
-    from ..ops.culling import load_or_build_short_tables
+    from ..ops.culling import (
+        load_or_build_ray_tables, load_or_build_short_tables,
+    )
 
     short_tables = load_or_build_short_tables(tri_verts, cache_dir=scene_dir)
+    ray_tables = load_or_build_ray_tables(
+        tri_verts,
+        cache_dir=scene_dir,
+        build_if_missing=build_culling,
+        walkable_points=walkable,
+    )
 
     return MapData(
         tris=soup,
@@ -278,6 +290,7 @@ def load_map(
         curr_spawn_b_yaw=jnp.asarray(sc_by),
         curr_spawn_counts=jnp.asarray(sc_counts),
         has_spawn_curriculum=has_sc,
+        ray_cells=ray_tables,
     )
 
 

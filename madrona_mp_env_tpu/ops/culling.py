@@ -850,6 +850,345 @@ def load_or_build_short_tables(
     return pack_short_tables(raw, tri_verts)
 
 
+# ---------------------------------------------------------------------------
+# Ray-only sensor tables (the v9 fan kernel's candidate sets)
+# ---------------------------------------------------------------------------
+#
+# The combined tables above union ray-PVS + sphere-cast-PVS + a generous
+# near set under QUERY_MARGIN=80 of origin drift — on simple_map that lands
+# at K=128 of 252, a 2x cut that loses to the dense fan kernel. Sensor fans
+# are a much friendlier query class:
+#   * origins are EXACTLY the per-step cell-of-record position (the fan
+#     bases at state.pos, cells computed from the same value) — margin is
+#     only a cell-boundary epsilon, not 80 units of drift;
+#   * only rays, no sphere sweeps — no capsule-inflated candidates;
+#   * origins are eye positions over reachable space — the same sampler
+#     distribution as the batteries.
+# That drops the possibly-nearest set to ~30-60 triangles/cell on
+# simple_map-like maps, which the v9 transposed kernel (tris on sublanes)
+# can exploit: K only needs 8-alignment, not the 128-lane floor.
+
+RAY_TABLE_VERSION = 1
+SENSOR_MARGIN = 12.0  # fan origins == cell-of-record position; margin only
+# absorbs the cell-boundary epsilon and z-offset parallax of eye rays
+
+
+class RayTables(NamedTuple):
+    """Device-resident v9 fan-kernel tables. C = nx*ny cells + 1 dead cell.
+
+    ``dir9``/``org9`` rows are candidate-major in 3 groups of K: rows
+    [k | K+k | 2K+k] hold triangle k's (n | w1 | w2) xyz direction rows
+    (bf16, cols 0-2) and (d0-n.o | w1.o+c1 | w2.o+c2) affine origin rows
+    ((-n, d0), (w1, c1), (w2, c2) against (ox, oy, oz, 1); f32, cols 0-3)."""
+
+    cand_idx: jax.Array  # [C, K] i32 original tri rows (-1 pad)
+    dir9: jax.Array  # [C, 8, 3K] bf16 (coeff rows on sublanes)
+    org9: jax.Array  # [C, 8, 3K] f32
+    grid_min_x: float
+    grid_min_y: float
+    cell_size: float
+    nx: int
+    ny: int
+    K: int
+
+    @property
+    def dead_cell(self):
+        return self.nx * self.ny
+
+
+def ray_cell_index(rt: RayTables, pos: jax.Array) -> jax.Array:
+    """pos [..., 3] -> ray-table cell id [...] i32 (dead-agent teleport box
+    maps to the dead cell, same rule as cell_index)."""
+    ix = jnp.clip(
+        ((pos[..., 0] - rt.grid_min_x) / rt.cell_size).astype(jnp.int32),
+        0, rt.nx - 1,
+    )
+    iy = jnp.clip(
+        ((pos[..., 1] - rt.grid_min_y) / rt.cell_size).astype(jnp.int32),
+        0, rt.ny - 1,
+    )
+    cid = ix * rt.ny + iy
+    dead = pos[..., 2] > 5000.0
+    return jnp.where(dead, rt.dead_cell, cid)
+
+
+def build_ray_tables(
+    tri_verts: np.ndarray,
+    *,
+    walkable_points: Optional[np.ndarray] = None,
+    cells_per_side: int = 16,
+    near_dist: float = 80.0,
+    rays_per_cell: int = 30000,
+    seed: int = 7,
+    k_max: int = 192,
+    round_rays: int = 1 << 19,
+    max_rounds: int = 80,
+    progress: bool = False,
+) -> dict:
+    """Sampled first-hit PVS per cell for sensor rays (host arrays; cache
+    via load_or_build_ray_tables). Same battery machinery as
+    build_cell_tables but rays only, binned with SENSOR_MARGIN, plus a
+    small conservative near set (short rays always covered exactly)."""
+    tv = np.asarray(tri_verts, np.float32)
+    T = len(tv)
+    lo = tv.reshape(-1, 3).min(axis=0)
+    hi = tv.reshape(-1, 3).max(axis=0)
+    nx = ny = int(cells_per_side)
+    cell_size = float(
+        max(hi[0] - lo[0], hi[1] - lo[1]) / cells_per_side + 1e-3
+    )
+    grid_min = np.array([lo[0], lo[1]], np.float64)
+    C_grid = nx * ny
+
+    masks = _near_sets(tv, grid_min, cell_size, nx, ny, near_dist)
+    masks = np.concatenate([masks, np.zeros((1, T), bool)], axis=0)
+
+    v0 = jnp.asarray(tv[:, 0])
+    e1 = jnp.asarray(tv[:, 1] - tv[:, 0])
+    e2 = jnp.asarray(tv[:, 2] - tv[:, 0])
+    valid = jnp.ones((T,), bool)
+    rng = np.random.default_rng(seed)
+    z_top = float(hi[2] + 50.0)
+    z_bot = float(lo[2] - 10.0)
+
+    ray_idx_fn = jax.jit(
+        lambda o, d: _dense_ray_idx(o, d, v0, e1, e2, valid)
+    )
+    ground_fn = jax.jit(
+        lambda xy: _ground_heights(xy, (v0, e1, e2, valid), z_top, z_bot)
+    )
+    sample_origins = _make_origin_sampler(
+        rng, walkable_points, ground_fn, grid_min, nx, ny, cell_size,
+        z_bot, z_top,
+    )
+
+    bits_added = [0]
+
+    def bin_hits(o_np, idx_np, finite_np):
+        o_np = o_np[finite_np]
+        tris = idx_np[finite_np]
+        tris = np.where(tris < T, tris, 0)
+        m = SENSOR_MARGIN
+        ix_lo = np.clip(((o_np[:, 0] - m - grid_min[0]) / cell_size).astype(np.int64), 0, nx - 1)
+        ix_hi = np.clip(((o_np[:, 0] + m - grid_min[0]) / cell_size).astype(np.int64), 0, nx - 1)
+        iy_lo = np.clip(((o_np[:, 1] - m - grid_min[1]) / cell_size).astype(np.int64), 0, ny - 1)
+        iy_hi = np.clip(((o_np[:, 1] + m - grid_min[1]) / cell_size).astype(np.int64), 0, ny - 1)
+        before = int(masks.sum())
+        for ix in (ix_lo, ix_hi):
+            for iy in (iy_lo, iy_hi):
+                np.logical_or.at(masks, (ix * ny + iy, tris), True)
+        bits_added[0] += int(masks.sum()) - before
+
+    def rand_dirs(n):
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        return d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+
+    chunk = 1 << 15
+
+    def ray_round(total):
+        done = 0
+        while done < total:
+            n = min(chunk, total - done)
+            o = sample_origins(n)
+            d = rand_dirs(n)
+            t, idx = ray_idx_fn(jnp.asarray(o), jnp.asarray(d))
+            bin_hits(o, np.asarray(idx), np.isfinite(np.asarray(t)))
+            done += n
+
+    ray_round(rays_per_cell * C_grid)
+    clean = 0
+    rounds = 0
+    while clean < 3 and rounds < max_rounds:
+        bits_added[0] = 0
+        ray_round(round_rays)
+        rounds += 1
+        clean = clean + 1 if bits_added[0] == 0 else 0
+        if progress:
+            print(f"  ray round {rounds}: +{bits_added[0]} bits "
+                  f"(clean streak {clean})", flush=True)
+
+    # dead cell: rays from the dead-agent teleport box
+    n_dead = 1 << 16
+    o = np.concatenate(
+        [
+            rng.uniform(-5.0, 5.0, (n_dead, 2)).astype(np.float32),
+            rng.uniform(9995.0, 10130.0, (n_dead, 1)).astype(np.float32),
+        ],
+        axis=1,
+    )
+    d = rand_dirs(n_dead)
+    t, idx = ray_idx_fn(jnp.asarray(o), jnp.asarray(d))
+    fin = np.isfinite(np.asarray(t))
+    idxn = np.asarray(idx)[fin]
+    masks[C_grid, np.where(idxn < T, idxn, 0)] = True
+
+    counts = masks.sum(axis=1)
+    k_raw = int(counts.max())
+    K = -(-max(k_raw, 8) // 8) * 8
+    if K > k_max:
+        raise ValueError(
+            f"sensor candidate sets too large (K={k_raw} > {k_max}); "
+            "use the dense fan path for this map"
+        )
+
+    C = C_grid + 1
+    cand_idx = np.full((C, K), -1, np.int32)
+    for c in range(C):
+        ids = np.flatnonzero(masks[c])
+        cand_idx[c, : len(ids)] = ids
+
+    return {
+        "version": np.int32(RAY_TABLE_VERSION),
+        "cand_idx": cand_idx,
+        "grid_min": grid_min.astype(np.float64),
+        "cell_size": np.float64(cell_size),
+        "nx": np.int32(nx),
+        "ny": np.int32(ny),
+        "K": np.int32(K),
+        "k_raw": np.int32(k_raw),
+        "mean_count": np.float64(counts[:C_grid].mean()),
+    }
+
+
+def pack_ray_tables(raw: dict, tri_verts: np.ndarray) -> RayTables:
+    """Host dict -> device RayTables (v9 fan-kernel matmul matrices)."""
+    from .raycast_pallas import pack_tri_consts
+
+    tv = np.asarray(tri_verts, np.float32)
+    cand_idx = np.asarray(raw["cand_idx"], np.int32)
+    C, K = cand_idx.shape
+
+    # [C, 8, 3K]: coeff rows on sublanes, candidates on lanes (an
+    # [.., 3K, 8] layout would pad the 8-minor dim to 128 lanes — a 16x
+    # physical blowup on the per-block table gathers)
+    dir9 = np.zeros((C, 8, 3 * K), np.float32)
+    org9 = np.zeros((C, 8, 3 * K), np.float32)
+    for c in range(C):
+        ids = cand_idx[c][cand_idx[c] >= 0]
+        if len(ids) == 0:
+            continue
+        tc = pack_tri_consts(tv[ids], pad_to=len(ids))  # [16, k]
+        k = len(ids)
+        # direction coeff cols: n | w1 | w2 xyz (padding tris stay
+        # all-zero -> nd = 0 -> NaN t -> miss, no mask needed)
+        dir9[c, 0:3, 0:k] = tc[0:3]          # n
+        dir9[c, 0:3, K:K + k] = tc[4:7]      # w1
+        dir9[c, 0:3, 2 * K:2 * K + k] = tc[8:11]  # w2
+        # origin coeffs against (ox, oy, oz, 1):
+        org9[c, 0:3, 0:k] = -tc[0:3]         # d0 - n.o
+        org9[c, 3, 0:k] = tc[3]
+        org9[c, 0:3, K:K + k] = tc[4:7]      # w1.o + c1
+        org9[c, 3, K:K + k] = tc[7]
+        org9[c, 0:3, 2 * K:2 * K + k] = tc[8:11]  # w2.o + c2
+        org9[c, 3, 2 * K:2 * K + k] = tc[11]
+
+    return RayTables(
+        cand_idx=jnp.asarray(cand_idx),
+        dir9=jnp.asarray(dir9.astype(jnp.bfloat16)),
+        org9=jnp.asarray(org9),
+        grid_min_x=float(raw["grid_min"][0]),
+        grid_min_y=float(raw["grid_min"][1]),
+        cell_size=float(raw["cell_size"]),
+        nx=int(raw["nx"]),
+        ny=int(raw["ny"]),
+        K=K,
+    )
+
+
+def load_or_build_ray_tables(
+    tri_verts: np.ndarray,
+    cache_dir: Optional[str] = None,
+    build_if_missing: bool = True,
+    **kwargs,
+) -> Optional[RayTables]:
+    """Load cached sensor-ray tables (<map>/culling_ray.npz) or build +
+    cache; None when missing and build_if_missing=False (dense fan
+    fallback)."""
+    key = _tri_hash(tri_verts)
+    path = None
+    if cache_dir is not None:
+        path = os.path.join(cache_dir, "culling_ray.npz")
+        if os.path.exists(path):
+            raw = dict(np.load(path))
+            if (
+                int(raw.get("version", -1)) == RAY_TABLE_VERSION
+                and str(raw.get("tri_hash", "")) == key
+            ):
+                return pack_ray_tables(raw, tri_verts)
+    if not build_if_missing:
+        return None
+    raw = build_ray_tables(tri_verts, **kwargs)
+    raw["tri_hash"] = key
+    if path is not None:
+        try:
+            np.savez_compressed(path, **raw)
+        except OSError:
+            pass
+    return pack_ray_tables(raw, tri_verts)
+
+
+def verify_ray_tables(
+    tri_verts: np.ndarray,
+    tables: RayTables,
+    n_rays: int = 200000,
+    seed: int = 321,
+    walkable_points: Optional[np.ndarray] = None,
+) -> dict:
+    """Randomized culled-vs-dense first-hit check over the builder's origin
+    distribution with origins snapped to their exact cell (the runtime
+    contract: fan origin == cell-of-record position). Returns mismatch
+    counts (0 = exact on this battery)."""
+    tv = np.asarray(tri_verts, np.float32)
+    T = len(tv)
+    lo = tv.reshape(-1, 3).min(axis=0)
+    hi = tv.reshape(-1, 3).max(axis=0)
+    v0 = jnp.asarray(tv[:, 0])
+    e1 = jnp.asarray(tv[:, 1] - tv[:, 0])
+    e2 = jnp.asarray(tv[:, 2] - tv[:, 0])
+    valid = jnp.ones((T,), bool)
+    rng = np.random.default_rng(seed)
+
+    ground_fn = jax.jit(lambda xy: _ground_heights(
+        xy, (v0, e1, e2, valid), float(hi[2] + 50), float(lo[2] - 10)))
+    sample_origins = _make_origin_sampler(
+        rng, walkable_points, ground_fn,
+        np.array([tables.grid_min_x, tables.grid_min_y]),
+        tables.nx, tables.ny, tables.cell_size,
+        float(lo[2] - 10), float(hi[2] + 50),
+    )
+    cand = tables.cand_idx
+
+    @jax.jit
+    def pair(o, d):
+        t_dense, _ = _dense_ray_idx(o, d, v0, e1, e2, valid)
+        cells = ray_cell_index(tables, o)
+        ids = cand[cells]  # [n, K]
+        safe = jnp.maximum(ids, 0)
+        sv0, se1, se2 = v0[safe], e1[safe], e2[safe]
+        vl = ids >= 0
+        tc = jax.vmap(
+            lambda oo, dd, a, b, c, vv: _dense_ray_idx(oo, dd, a, b, c, vv)[0]
+        )(o, d, sv0, se1, se2, vl)
+        return t_dense, tc
+
+    mism = 0
+    done = 0
+    while done < n_rays:
+        n = min(1 << 15, n_rays - done)
+        o = sample_origins(n)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        td, tc = pair(jnp.asarray(o), jnp.asarray(d))
+        td, tc = np.asarray(td), np.asarray(tc)
+        bad = ~(
+            np.isclose(td, tc, rtol=1e-6, atol=1e-4)
+            | (np.isinf(td) & np.isinf(tc))
+        )
+        mism += int(bad.sum())
+        done += n
+    return {"ray_mismatch": mism, "n_rays": n_rays}
+
+
 class SortedLayout(NamedTuple):
     """Agent-groups sorted by cell, runs padded to `ab` groups so each
     block of `ab` consecutive slots shares one cell."""

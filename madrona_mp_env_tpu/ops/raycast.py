@@ -154,7 +154,8 @@ def ray_vs_tris(o, d, soup: TriSoup, t_max=INF, *, cells=None, tables=None):
 
 
 def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
-                     cells=None, tables=None, zgroups=None):
+                     cells=None, tables=None, zgroups=None,
+                     ray_tables=None, ray_cells=None):
     """Nearest-hit for per-agent sensor ray fans sharing a base origin
     (per-ray origin = base + (0, 0, z_offset)). origins [..., 3];
     zoffs [..., F]; dirs [..., F, 3]. Returns t [..., F] (inf on miss).
@@ -179,6 +180,31 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
         legacy_cull = (
             tables is not None and cells is not None and use_culling()
         )
+        # v9 transposed fan kernel over per-cell sensor-ray tables (rays on
+        # lanes, K candidates on sublanes — ops/raycast_pallas.py v9 notes)
+        # Opt-in for now: the v9 kernel is parity-correct (tests/
+        # test_pallas_parity.py TestFanKernelV9) but its end-to-end cost
+        # still trails the dense fan path on simple_map (126k vs 141k
+        # steps/s measured) — staging is fixed ([C, 8, 3K] tables), the
+        # remaining gap is in-kernel; flip to "auto" once it wins.
+        v9_mode = os.environ.get("MPENV_FAN_V9", "0")
+        use_v9 = (
+            use_pallas() and not legacy_cull
+            and ray_tables is not None and ray_cells is not None
+            and v9_mode == "1"
+        )
+        if use_v9:
+            from .raycast_pallas import ray_fans_culled_v9
+
+            dx, dy, dz = dirs
+            F = dx.shape[-1]
+            reps = np.asarray(zgroups)
+            zoff_ray = jnp.repeat(
+                zoffs, jnp.asarray(reps), axis=-1, total_repeat_length=F
+            )
+            return ray_fans_culled_v9(
+                origins, zoff_ray, dirs, ray_cells, ray_tables, t_max
+            )
         # fan culling only pays when the candidate sets are much smaller
         # than the soup: K has a 128-lane floor, and the sorted layout
         # pads ~15-70% extra fan slots, so on small maps (T/K < 4) the

@@ -712,6 +712,203 @@ def ray_fans_vs_tris_planar(origins, zg, dxyz, soup, t_max=INF,
     return t
 
 
+# ---------------------------------------------------------------------------
+# v9 fan kernel: rays on LANES, candidate triangles on SUBLANES
+# ---------------------------------------------------------------------------
+#
+# The v5/v8 dense fan kernels put triangles on the lane axis, which imposes a
+# 128-triangle floor per sweep — per-cell candidate culling (ops/culling.py
+# ray tables: K ~ 32-64 possibly-nearest triangles per cell on simple_map)
+# can never pay in that layout. v9 transposes the problem: a block sweeps
+# fpb sorted fans' rays on the LANE axis (fpb * F lanes, a multiple of 128)
+# against its cell's K candidates on the SUBLANE axis in K/8 chunks, so K
+# only needs 8-alignment and the pair count drops ~4-5x on small maps.
+#
+# Both halves of the intersection test become MXU matmuls against tiny
+# per-cell matrices (built host-side, ops/culling.py pack_ray_tables):
+#
+#   dd = dir9 [3K, 8](bf16) @ (dx dy dz 0 ...)[8, R]   (n.d | w1.d | w2.d)
+#   ao = org9 [3K, 8](f32)  @ (ox oy oz 1 ...)[8, R]   (d0-n.o | w1.o+c1 |
+#                                                        w2.o+c2)
+#
+# Per-ray origin z offsets ride the origin stream (row 2 = oz + zoff), so
+# the z-group machinery of v5/v8 disappears entirely: the epilogue is one
+# uniform K/8-chunk loop of t = ao/dd fused compares, min-reduced over
+# sublanes. Origin dots stay f32 (positions are ~2000 units; bf16 there
+# would corrupt containment), direction dots keep v8's bf16 contract.
+
+FAN_V9_FPB = _env_int("MPENV_FAN9_FPB", 16)
+
+
+def _make_fan_kernel_v9(F: int, K: int, fpb: int):
+    """Block: d2 [4, R] bf16 (rows dx dy dz 0); o4 [4, R] f32 (rows ox oy
+    oz 1); dir9 [8, 3K] bf16; org9 [8, 3K] f32 (rows = xyz/const coeffs,
+    LANE dim = candidates — an [3K, 8] layout physically pads the 8-minor
+    dim to 128 lanes, a 16x blowup on the table gathers); out [1, 1, R]
+    f32 nearest-hit t (inf miss). R = fpb * F lanes, ray-major within
+    fan."""
+    R = fpb * F
+    assert R % 128 == 0 and K % 8 == 0
+
+    def kernel(d2_ref, o4_ref, dir9_ref, org9_ref, out_ref):
+        d2 = jnp.pad(d2_ref[:], ((0, 4), (0, 0)))  # [8, R]
+        o4 = jnp.pad(o4_ref[:], ((0, 4), (0, 0)))
+        dd = jax.lax.dot_general(
+            dir9_ref[:], d2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [3K, R]
+        ao = jax.lax.dot_general(
+            org9_ref[:], o4, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [3K, R]
+
+        inf = jnp.float32(np.inf)
+        acc = jnp.full((8, R), inf, jnp.float32)
+        for k in range(0, K, 8):
+            nd = dd[k:k + 8]
+            w1d = dd[K + k:K + k + 8]
+            w2d = dd[2 * K + k:2 * K + k + 8]
+            no2 = ao[k:k + 8]
+            u0 = ao[K + k:K + k + 8]
+            v0 = ao[2 * K + k:2 * K + k + 8]
+            # padding tris are all-zero rows: t = 0 * inf = NaN and every
+            # compare rejects; parallel rays degenerate the same way
+            t = _recip(no2, nd)
+            u = u0 + t * w1d
+            v = v0 + t * w2d
+            hit = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            acc = jnp.minimum(acc, jnp.where(hit, t, inf))
+        # [1, 1, R] fan-major lanes; the (sublane, lane) split back to
+        # [fpb, F] rows happens in XLA (Mosaic rejects the in-kernel
+        # lane->sublane shape cast)
+        out_ref[:] = jnp.min(acc, axis=0, keepdims=True)[None]
+
+    return kernel
+
+
+_FAN_V9_CACHE = {}
+
+
+def _get_fan_v9(F: int, K: int):
+    """custom_vmap flat entry for the v9 culled fan: (origins [N, 3],
+    zoff [N, F] per-ray origin z offsets, dx/dy/dz [N, F], cells [N],
+    dir9 [C, 3K, 8] bf16, org9 [C, 3K, 8] f32) -> t [N, F]."""
+    ck = (F, K, FAN_V9_FPB, _interp())
+    if ck in _FAN_V9_CACHE:
+        return _FAN_V9_CACHE[ck]
+
+    fpb = FAN_V9_FPB
+    assert (fpb * F) % 128 == 0, (fpb, F)
+    R = fpb * F
+    kernel = _make_fan_kernel_v9(F, K, fpb)
+
+    def call(block_cell, d2, o4, dir9, org9):
+        S = d2.shape[1] // F
+        dir9_b = dir9[block_cell]  # [B, 8, 3K] bf16
+        org9_b = org9[block_cell]  # [B, 8, 3K] f32
+        B = S // fpb
+        dir9_b = dir9_b.reshape(B * 8, 3 * K)
+        org9_b = org9_b.reshape(B * 8, 3 * K)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((4, R), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, R), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 3 * K), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 3 * K), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 1, R), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary" if _interp()
+                                     else "parallel",)
+            ),
+            interpret=_interp(),
+        )(d2, o4, dir9_b, org9_b)
+
+    @jax.custom_batching.custom_vmap
+    def fan_v9_flat(origins, zoff, dx, dy, dz, cells, dir9, org9):
+        from .culling import agent_sorted_layout
+
+        N = origins.shape[0]
+        C = dir9.shape[0]
+        layout = agent_sorted_layout(cells, C, fpb)
+        S = layout.S
+
+        def plane(x, fill, dtype):
+            padded = jnp.concatenate(
+                [x, jnp.full((1, F), fill, x.dtype)], axis=0
+            )[layout.src]  # [S, F]
+            return padded.reshape(S * F).astype(dtype)
+
+        # dummy slots: zero dirs -> nd = 0 -> NaN t -> all-miss
+        d2 = jnp.stack(
+            [plane(dx, 0.0, jnp.bfloat16), plane(dy, 0.0, jnp.bfloat16),
+             plane(dz, 0.0, jnp.bfloat16),
+             jnp.zeros((S * F,), jnp.bfloat16)],
+            axis=0,
+        )  # [4, S*F]
+        ox = jnp.broadcast_to(origins[:, 0:1], (N, F))
+        oy = jnp.broadcast_to(origins[:, 1:2], (N, F))
+        oz = origins[:, 2:3] + zoff  # [N, F] per-ray origin z
+        o4 = jnp.stack(
+            [plane(ox, 0.0, jnp.float32), plane(oy, 0.0, jnp.float32),
+             plane(oz, 0.0, jnp.float32),
+             jnp.ones((S * F,), jnp.float32)],
+            axis=0,
+        )  # [4, S*F]
+        out = call(layout.block_cell, d2, o4, dir9, org9)
+        out = out.reshape(S, F)  # [B, fpb*F] -> slot rows (XLA relayout)
+        # full-row gather kept un-fused (see fan_culled_flat note: a fused
+        # gather+slice lowers to a serial dynamic-slice loop)
+        return jax.lax.optimization_barrier(out[layout.slot])
+
+    @fan_v9_flat.def_vmap
+    def _vmap(axis_size, in_batched, origins, zoff, dx, dy, dz, cells,
+              dir9, org9):
+        assert not in_batched[6] and not in_batched[7]
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        args = [
+            bcast(x, b)
+            for x, b in zip((origins, zoff, dx, dy, dz, cells),
+                            in_batched[:6])
+        ]
+        out = fan_v9_flat(*args, dir9, org9)
+        return out.reshape((B, -1) + out.shape[1:]), True
+
+    _FAN_V9_CACHE[ck] = fan_v9_flat
+    return fan_v9_flat
+
+
+def ray_fans_culled_v9(origins, zoff, dxyz, cells, rtables, t_max=INF):
+    """Cell-culled v9 sensor fans over per-cell ray tables
+    (ops/culling.py RayTables). origins [..., 3]; zoff [..., F] PER-RAY
+    origin z offsets; dxyz = (dx, dy, dz) [..., F] component planes;
+    cells [...] per-fan ray-table cell. Returns t [..., F] (inf miss)."""
+    dx, dy, dz = dxyz
+    F = dx.shape[-1]
+    fan_flat = _get_fan_v9(F, rtables.K)
+    t = fan_flat(origins, zoff, dx, dy, dz, cells,
+                 rtables.dir9, rtables.org9)
+    if t_max is not INF:
+        t = jnp.where(t <= t_max, t, INF)
+    return t
+
+
 def _make_fan_kernel_v5(F: int, T: int, fpb: int, zgroups, engine="mxu"):
     """Grouped fan kernel, natural fan-major layout: the direction stream is
     exactly ``dirs.reshape(N*F, 4)`` (row = fan * F + ray) — no host-side

@@ -174,9 +174,16 @@ def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState,
     zgroups = (ts * 4,) + (
         (consts.fwd_lidar_width,) * consts.fwd_lidar_height
     ) + ((consts.rear_lidar_width,) * consts.rear_lidar_height)
+    ray_cells = None
+    if m.ray_cells is not None:
+        from ..ops.culling import ray_cell_index
+
+        # the fan origin IS state.pos (z offsets ride the origin stream),
+        # so the cell of record is exact — see culling.SENSOR_MARGIN
+        ray_cells = ray_cell_index(m.ray_cells, state.pos)
     t = ray_fans_vs_tris(
         state.pos, zg, (dx, dy, dz), m.tris, cells=cells, tables=m.cells,
-        zgroups=zgroups,
+        zgroups=zgroups, ray_tables=m.ray_cells, ray_cells=ray_cells,
     )
 
     # capsule sweep for every sensor ray in one pass (self always excluded —

@@ -503,3 +503,175 @@ class TestCapsulePlanarDerive:
         np.testing.assert_array_equal(
             np.asarray(i_p)[hit], np.asarray(i_e)[hit]
         )
+
+
+def _full_ray_tables(tris, extent=300.0, nx=2, ny=2):
+    """Synthetic RayTables listing every triangle in every cell — v9 then
+    must match the dense fan sweep (same candidate set, different
+    layout/engines), isolating the kernel math from table coverage."""
+    from madrona_mp_env_tpu.ops.culling import pack_ray_tables
+
+    T = len(tris)
+    K = -(-T // 8) * 8
+    C = nx * ny + 1
+    cand = np.full((C, K), -1, np.int32)
+    cand[:, :T] = np.arange(T)
+    raw = {
+        "cand_idx": cand,
+        "grid_min": np.array([-extent, -extent], np.float64),
+        "cell_size": np.float64(2 * extent / nx),
+        "nx": np.int32(nx),
+        "ny": np.int32(ny),
+        "K": np.int32(K),
+    }
+    return pack_ray_tables(raw, tris)
+
+
+class TestFanKernelV9:
+    """v9 transposed fan kernel (rays on lanes, per-cell candidates on
+    sublanes; bf16 MXU direction dots + f32 MXU origin dots) vs the dense
+    sweep. F * FAN_V9_FPB must be lane-aligned: F = 104 with fpb 16 (the
+    sim's sensor-fan configuration) and F = 8 with fpb 16."""
+
+    def _run_v9(self, tables, base, zoffs, d):
+        from madrona_mp_env_tpu.ops.culling import ray_cell_index
+        from madrona_mp_env_tpu.ops.raycast_pallas import ray_fans_culled_v9
+
+        cells = ray_cell_index(tables, base)
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        return ray_fans_culled_v9(base, zoffs, (dx, dy, dz), cells, tables)
+
+    def test_v9_vs_dense_random_geom(self, soup):
+        tris, s = soup
+        tables = _full_ray_tables(tris)
+        N, F = 48, 8
+        base = jax.random.uniform(
+            jax.random.PRNGKey(91), (N, 3), minval=-250, maxval=250
+        )
+        zoffs = jax.random.uniform(
+            jax.random.PRNGKey(92), (N, F), minval=0.0, maxval=65.0
+        )
+        d = jax.random.normal(jax.random.PRNGKey(93), (N, F, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        t_k = self._run_v9(tables, base, zoffs, d)
+
+        o = base[:, None, :] + jnp.stack(
+            [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
+        )
+        t_d = rc._ray_vs_tris_dense(o, d, s)
+        _assert_ray_parity(t_k, t_d, rel_tol=2e-2, mismatch_frac=0.02)
+
+    def test_v9_vs_dense_map_sensor_shape(self, map_soup):
+        """The production shape: F = 104 rays/fan on simple_map geometry."""
+        tris, s = map_soup
+        tables = _full_ray_tables(tris, extent=2100.0, nx=2, ny=2)
+        N, F = 32, 104
+        base = jax.random.uniform(
+            jax.random.PRNGKey(94), (N, 3), minval=-1500, maxval=1500
+        )
+        base = base.at[:, 2].set(10.0)
+        zoffs = jax.random.uniform(
+            jax.random.PRNGKey(95), (N, F), minval=15.0, maxval=65.0
+        )
+        d = jax.random.normal(jax.random.PRNGKey(96), (N, F, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        t_k = self._run_v9(tables, base, zoffs, d)
+
+        o = base[:, None, :] + jnp.stack(
+            [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
+        )
+        t_d = rc._ray_vs_tris_dense(o, d, s)
+        _assert_ray_parity(t_k, t_d, rel_tol=2e-2, mismatch_frac=0.01)
+
+    def test_v9_vs_v8_same_candidates(self, map_soup):
+        """With all-tris tables, v9 and the dense-soup v8 kernel sweep the
+        SAME candidate set with the same bf16 direction dots — they must
+        agree tightly (origin terms: f32 MXU dot vs f32 VPU fma chain)."""
+        tris, s = map_soup
+        tables = _full_ray_tables(tris, extent=2100.0)
+        N = 32
+        zgroups = (24, 32, 32, 8, 8)
+        F = sum(zgroups)
+        base = jax.random.uniform(
+            jax.random.PRNGKey(97), (N, 3), minval=-1500, maxval=1500
+        )
+        base = base.at[:, 2].set(10.0)
+        zg = jax.random.uniform(
+            jax.random.PRNGKey(98), (N, len(zgroups)), minval=15.0,
+            maxval=65.0,
+        )
+        reps = np.asarray(zgroups)
+        zoffs = jnp.repeat(
+            zg, jnp.asarray(reps), axis=-1, total_repeat_length=F
+        )
+        d = jax.random.normal(jax.random.PRNGKey(99), (N, F, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        t_9 = self._run_v9(tables, base, zoffs, d)
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        t_8 = rc.ray_fans_vs_tris(
+            base, zg, (dx, dy, dz), s, zgroups=zgroups
+        )
+        _assert_ray_parity(t_9, t_8, rel_tol=1e-3, mismatch_frac=0.005)
+
+    def test_v9_built_tables_box_room(self):
+        """End-to-end with REAL builder tables on a synthetic box room:
+        builder coverage + kernel together must reproduce the dense sweep
+        for eye-height queries."""
+        from madrona_mp_env_tpu.ops.culling import (
+            build_ray_tables, pack_ray_tables, ray_cell_index,
+        )
+        from madrona_mp_env_tpu.ops.raycast_pallas import ray_fans_culled_v9
+
+        # axis-aligned room: floor + 4 walls + a central pillar
+        def quad(a, b, c, d_):
+            return [np.stack([a, b, c]), np.stack([a, c, d_])]
+
+        E, H = 400.0, 120.0
+        P = np.array
+        tris = []
+        tris += quad(P([-E, -E, 0.]), P([E, -E, 0.]), P([E, E, 0.]), P([-E, E, 0.]))
+        for (x0, y0, x1, y1) in [(-E, -E, E, -E), (E, -E, E, E),
+                                 (E, E, -E, E), (-E, E, -E, -E)]:
+            tris += quad(P([x0, y0, 0.]), P([x1, y1, 0.]),
+                         P([x1, y1, H]), P([x0, y0, H]))
+        for (x0, y0, x1, y1) in [(-40, -40, 40, -40), (40, -40, 40, 40),
+                                 (40, 40, -40, 40), (-40, 40, -40, -40)]:
+            tris += quad(P([x0, y0, 0.]), P([x1, y1, 0.]),
+                         P([x1, y1, H]), P([x0, y0, H]))
+        tris = np.stack(tris).astype(np.float32)
+
+        walk = np.stack(
+            np.meshgrid(np.linspace(-E + 30, E - 30, 9),
+                        np.linspace(-E + 30, E - 30, 9)), -1
+        ).reshape(-1, 2)
+        walk = np.concatenate(
+            [walk, np.zeros((len(walk), 1), np.float32)], axis=1
+        ).astype(np.float32)
+        raw = build_ray_tables(
+            tris, walkable_points=walk, cells_per_side=4,
+            rays_per_cell=4000, round_rays=1 << 14, max_rounds=6,
+        )
+        tables = pack_ray_tables(raw, tris)
+        soup = make_tri_soup(tris, pad_to=128)
+
+        N, F = 32, 8
+        rng = np.random.RandomState(17)
+        base = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-E + 25, E - 25, (N, 2)),
+                 rng.uniform(5, 30, (N, 1))], axis=1
+            ), jnp.float32
+        )
+        zoffs = jnp.asarray(rng.uniform(0, 60, (N, F)), jnp.float32)
+        d = rng.normal(size=(N, F, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        cells = ray_cell_index(tables, base)
+        t_k = ray_fans_culled_v9(
+            base, zoffs, (d[..., 0], d[..., 1], d[..., 2]), cells, tables
+        )
+        o = base[:, None, :] + jnp.stack(
+            [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
+        )
+        t_d = rc._ray_vs_tris_dense(o, d, soup)
+        _assert_ray_parity(t_k, t_d, rel_tol=2e-2, mismatch_frac=0.0)
