@@ -675,3 +675,162 @@ class TestFanKernelV9:
         )
         t_d = rc._ray_vs_tris_dense(o, d, soup)
         _assert_ray_parity(t_k, t_d, rel_tol=2e-2, mismatch_frac=0.0)
+
+
+class TestMovementFused:
+    """Fused collide-and-slide + fall megakernel (ops/movement_pallas.py,
+    ONE Pallas launch for L1 -> logic -> L2 -> L3 -> fall) vs the split
+    pipeline. Two comparisons:
+
+    - vs the PLANAR split path (same per-cast kernel math, interpret
+      mode): near-exact — only f32 reassociation differs.
+    - vs the DENSE jnp pipeline (different sphere-cast formulation):
+      loose bound with a small mismatch budget for agents whose binary
+      selects (high_closer / slope_block / unstick) flip on near-ties.
+    """
+
+    def _mk_world(self, seed, W=12):
+        import madrona_mp_env_tpu as mp
+        from madrona_mp_env_tpu.sim.types import init_world_state
+
+        cfg = mp.EnvConfig(task=mp.Task.Zone, team_size=6)
+        A = cfg.num_agents
+        k = jax.random.PRNGKey(seed)
+        ks = jax.random.split(k, 6)
+        # ground plane at z=0 (two big tris) + random obstacles
+        ground = np.array(
+            [
+                [[-500, -500, 0], [500, -500, 0], [500, 500, 0]],
+                [[-500, -500, 0], [500, 500, 0], [-500, 500, 0]],
+            ],
+            np.float32,
+        )
+        obst, _ = random_soup(ks[0], n_tris=40, extent=220.0)
+        tris = np.concatenate([ground, obst], axis=0)
+        soup = make_tri_soup(tris, pad_to=128)
+
+        st = init_world_state(cfg, 1)
+        st = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (W,) + x.shape), st
+        )
+        pos = jax.random.uniform(
+            ks[1], (W, A, 3), minval=-250.0, maxval=250.0
+        )
+        pos = pos.at[..., 2].set(
+            jax.random.uniform(ks[2], (W, A), minval=1.0, maxval=40.0)
+        )
+        vel = jax.random.uniform(
+            ks[3], (W, A, 3), minval=-220.0, maxval=220.0
+        )
+        cur = jax.random.randint(ks[4], (W, A), 0, 3)
+        alive = (
+            jax.random.uniform(ks[5], (W, A)) > 0.1
+        ).astype(jnp.float32)
+        st = st.replace(pos=pos, vel=vel, stand_cur=cur, alive=alive)
+        return cfg, soup, st
+
+    class _M:
+        def __init__(self, soup):
+            self.tris = soup
+            self.cells = None
+            self.short = None
+
+    def _run_fused(self, cfg, m, st):
+        from madrona_mp_env_tpu.ops.movement_pallas import (
+            apply_velocity_fall_fused,
+        )
+
+        return jax.vmap(
+            lambda s: apply_velocity_fall_fused(cfg, m, s)
+        )(st)
+
+    def _run_split(self, cfg, m, st):
+        from madrona_mp_env_tpu.sim import movement
+
+        def f(s):
+            s = movement.apply_velocity_system(cfg, m, s)
+            return movement.fall_system(cfg, m, s)
+
+        return jax.vmap(f)(st)
+
+    def test_fused_vs_planar_split(self):
+        cfg, soup, st = self._mk_world(11)
+        m = self._M(soup)
+        out_f = self._run_fused(cfg, m, st)
+        out_s = self._run_split(cfg, m, st)  # planar kernels (interpret)
+        dp = np.abs(np.asarray(out_f.pos) - np.asarray(out_s.pos))
+        dv = np.abs(np.asarray(out_f.vel) - np.asarray(out_s.vel))
+        agent_ok = (dp.max(-1) <= 1e-3) & (dv.max(-1) <= 0.1)
+        frac = 1.0 - agent_ok.mean()
+        assert frac <= 0.01, (
+            f"{(~agent_ok).sum()} of {agent_ok.size} agents diverge "
+            f"from the planar split path (max dp {dp.max():.4f})"
+        )
+
+    def test_fused_vs_dense(self, monkeypatch):
+        cfg, soup, st = self._mk_world(13)
+        m = self._M(soup)
+        out_f = self._run_fused(cfg, m, st)
+        monkeypatch.setenv("MPENV_PALLAS", "")
+        out_d = self._run_split(cfg, m, st)  # dense jnp pipeline
+        monkeypatch.setenv("MPENV_PALLAS", "interpret")
+        dp = np.abs(np.asarray(out_f.pos) - np.asarray(out_d.pos))
+        agent_ok = dp.max(-1) <= 1e-2
+        frac = 1.0 - agent_ok.mean()
+        assert frac <= 0.03, (
+            f"{(~agent_ok).sum()} of {agent_ok.size} agents diverge "
+            f"from the dense pipeline (max dp {dp.max():.4f})"
+        )
+
+    def test_fused_noop_when_still(self):
+        """Non-moving, standing agents on flat ground only fall/settle —
+        the fused path must agree with the dense path exactly on the
+        trivial case."""
+        cfg, soup, st = self._mk_world(17, W=4)
+        m = self._M(soup)
+        st = st.replace(
+            vel=jnp.zeros_like(st.vel),
+            pos=st.pos.at[..., 2].set(20.0),
+            stand_cur=jnp.zeros_like(st.stand_cur),
+        )
+        out_f = self._run_fused(cfg, m, st)
+        # still agents: xy frozen, z only falls
+        np.testing.assert_allclose(
+            np.asarray(out_f.pos[..., :2]),
+            np.asarray(st.pos[..., :2]), atol=1e-5,
+        )
+        assert np.all(np.asarray(out_f.pos[..., 2]) <= 20.0 + 1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out_f.vel), 0.0, atol=1e-5
+        )
+
+    def test_fused_culled_vs_split(self):
+        """Cell-culled fused variant (short candidate tables, sorted
+        layout, one cell per block) vs the planar split path: the short
+        sets are exact for the movement batch, so agreement matches the
+        dense-table fused bound."""
+        from madrona_mp_env_tpu.ops.culling import (
+            build_short_tables, pack_short_tables,
+        )
+
+        cfg, soup, st = self._mk_world(19)
+        tris = np.asarray(
+            jnp.stack(
+                [soup.v0, soup.v0 + soup.e1, soup.v0 + soup.e2], axis=1
+            )
+        )[np.asarray(soup.valid)]
+        m = self._M(soup)
+        m.short = pack_short_tables(
+            build_short_tables(tris, cells_per_side=4), tris
+        )
+        out_f = self._run_fused(cfg, m, st)  # culled (m.short set)
+        m.short = None
+        out_s = self._run_split(cfg, m, st)
+        dp = np.abs(np.asarray(out_f.pos) - np.asarray(out_s.pos))
+        dv = np.abs(np.asarray(out_f.vel) - np.asarray(out_s.vel))
+        agent_ok = (dp.max(-1) <= 1e-3) & (dv.max(-1) <= 0.1)
+        frac = 1.0 - agent_ok.mean()
+        assert frac <= 0.01, (
+            f"{(~agent_ok).sum()} of {agent_ok.size} agents diverge "
+            f"(max dp {dp.max():.4f})"
+        )
