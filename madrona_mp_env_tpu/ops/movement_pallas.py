@@ -383,40 +383,31 @@ def _make_move_kernel(r: float, T: int, tbl_cols: int = SC2_ROWS):
         vny = jnp.where(moving, vy * inv_vl, 0.0)
         move_dist = v_len * dt
 
-        # ---- L1: slope + low/high forward + 4 unstick probes ----
-        # cast rows: 0 slope, 1 low, 2 high, 3-6 unstick (v_norm rotated
-        # by k*pi/2 — component swaps)
+        # ---- L1: slope + low/high forward casts (always needed) ----
+        # The 4 unstick probes and the slide cast are LAZY: their sweeps
+        # run under lax.cond only when some lane in the block needs them
+        # (block-uniform control flow — the structural win a megakernel
+        # has over split launches, where every phase runs for everyone).
+        pad5 = jnp.concatenate([zero] * 5, axis=0)
         OX1 = jnp.concatenate(
-            [xx, xx + vnx * hb, xx + vnx * hb,
-             xx - r2 * vnx, xx + r2 * vny, xx + r2 * vnx, xx - r2 * vny,
-             zero], axis=0,
+            [xx, xx + vnx * hb, xx + vnx * hb, pad5], axis=0
         )
         OY1 = jnp.concatenate(
-            [xy, xy + vny * hb, xy + vny * hb,
-             xy - r2 * vny, xy - r2 * vnx, xy + r2 * vny, xy + r2 * vnx,
-             zero], axis=0,
+            [xy, xy + vny * hb, xy + vny * hb, pad5], axis=0
         )
         OZ1 = jnp.concatenate(
-            [xz + top, xz + low, xz + top,
-             xz + low, xz + low, xz + low, xz + low, zero], axis=0,
+            [xz + top, xz + low, xz + top, pad5], axis=0
         )
-        DX1 = jnp.concatenate(
-            [zero, vnx, vnx, vnx, -vny, -vnx, vny, zero], axis=0
-        )
-        DY1 = jnp.concatenate(
-            [zero, vny, vny, vny, vnx, -vny, -vnx, zero], axis=0
-        )
-        DZ1 = jnp.concatenate(
-            [-one, zero, zero, zero, zero, zero, zero, zero], axis=0
-        )
-        T1, I1 = sweep_stack(OX1, OY1, OZ1, DX1, DY1, DZ1, 7, True)
+        DX1 = jnp.concatenate([zero, vnx, vnx, pad5], axis=0)
+        DY1 = jnp.concatenate([zero, vny, vny, pad5], axis=0)
+        DZ1 = jnp.concatenate([-one, zero, zero, pad5], axis=0)
+        T1, I1 = sweep_stack(OX1, OY1, OZ1, DX1, DY1, DZ1, 3, True)
         NX1, NY1, NZ1 = normal_stack(
             OX1, OY1, OZ1, DX1, DY1, DZ1, T1, I1, 3
         )
 
         t_s = T1[0:1]
         t_low, t_high = T1[1:2], T1[2:3]
-        t_u0, t_u1, t_u2, t_u3 = T1[3:4], T1[4:5], T1[5:6], T1[6:7]
         nsx, nsy, nsz = NX1[0:1], NY1[0:1], NZ1[0:1]
         nlx, nly, nlz = NX1[1:2], NY1[1:2], NZ1[1:2]
         nhx, nhy, nhz = NX1[2:3], NY1[2:3], NZ1[2:3]
@@ -442,82 +433,111 @@ def _make_move_kernel(r: float, T: int, tbl_cols: int = SC2_ROWS):
         hpx = xx + vnx * step_d
         hpy = xy + vny * step_d
 
-        # unstick resolution (range-clamped, first-max tie-break as
-        # jnp.argmax — sim/movement.py apply_velocity_system)
-        big = jnp.float32(3.0e38)
-        u0v = jnp.where(t_u0 > UNSTICK_RANGE, big, t_u0)
-        u1v = jnp.where(t_u1 > UNSTICK_RANGE, big, t_u1)
-        u2v = jnp.where(t_u2 > UNSTICK_RANGE, big, t_u2)
-        u3v = jnp.where(t_u3 > UNSTICK_RANGE, big, t_u3)
-        furthest = jnp.maximum(
-            jnp.maximum(u0v, u1v), jnp.maximum(u2v, u3v)
-        )
-        any_dir = furthest > 0.0
-        un_step = jnp.minimum(furthest - 2.0 * rr, -buf)
-        first0 = u0v >= furthest
-        first1 = ~first0 & (u1v >= furthest)
-        first2 = ~first0 & ~first1 & (u2v >= furthest)
-        bdx = jnp.where(
-            first0, vnx,
-            jnp.where(first1, -vny, jnp.where(first2, -vnx, vny)),
-        )
-        bdy = jnp.where(
-            first0, vny,
-            jnp.where(first1, vnx, jnp.where(first2, -vny, -vnx)),
-        )
-        un_px = xx + bdx * un_step
-        un_py = xy + bdy * un_step
-        un_gcz = xz + top
-
-        # slide dir = normalize(cross(up, normal)) flipped toward v
-        sl_len = jnp.sqrt(nx_sel * nx_sel + ny_sel * ny_sel)
-        inv_sl = jnp.where(
-            sl_len > 1e-12, 1.0 / jnp.maximum(sl_len, 1e-30), 0.0
-        )
-        sdx = -ny_sel * inv_sl
-        sdy = nx_sel * inv_sl
-        flip = (sdx * vnx + sdy * vny) < 0.0
-        sdx = jnp.where(flip, -sdx, sdx)
-        sdy = jnp.where(flip, -sdy, sdy)
-
-        h_sel = jnp.where(high_hit, top, low)
-
-        # ---- L2: slide step + unstick ground check ----
-        pad6 = jnp.concatenate([zero] * 6, axis=0)
-        OX2 = jnp.concatenate(
-            [xx + vnx * low_dist, un_px, pad6], axis=0
-        )
-        OY2 = jnp.concatenate(
-            [xy + vny * low_dist, un_py, pad6], axis=0
-        )
-        OZ2 = jnp.concatenate([xz + h_sel, un_gcz, pad6], axis=0)
-        DX2 = jnp.concatenate([sdx, zero, pad6], axis=0)
-        DY2 = jnp.concatenate([sdy, zero, pad6], axis=0)
-        DZ2 = jnp.concatenate([zero, -one, pad6], axis=0)
-        T2, _ = sweep_stack(OX2, OY2, OZ2, DX2, DY2, DZ2, 2, False)
-        t_slide = T2[0:1]
-        t_ground_un = T2[1:2]
-
+        # ---- L2: slide step (lazy — only when some lane is blocked) ----
         slide_needed = move_dist > low_dist
-        slide_dist = jnp.maximum(0.0, t_slide - buf)
-        slide_dist = jnp.minimum(
-            slide_dist, jnp.maximum(move_dist - low_dist, 0.0)
+
+        def slide_branch(hpx, hpy):
+            # slide dir = normalize(cross(up, normal)) flipped toward v
+            sl_len = jnp.sqrt(nx_sel * nx_sel + ny_sel * ny_sel)
+            inv_sl = jnp.where(
+                sl_len > 1e-12, 1.0 / jnp.maximum(sl_len, 1e-30), 0.0
+            )
+            sdx = -ny_sel * inv_sl
+            sdy = nx_sel * inv_sl
+            flip = (sdx * vnx + sdy * vny) < 0.0
+            sdx = jnp.where(flip, -sdx, sdx)
+            sdy = jnp.where(flip, -sdy, sdy)
+            h_sel = jnp.where(high_hit, top, low)
+            t_slide, _ = sweep(
+                xx + vnx * low_dist, xy + vny * low_dist, xz + h_sel,
+                sdx, sdy, zero, False,
+            )
+            slide_dist = jnp.maximum(0.0, t_slide - buf)
+            slide_dist = jnp.minimum(
+                slide_dist, jnp.maximum(move_dist - low_dist, 0.0)
+            )
+            do_slide = slide_needed & (slide_dist > 0.0)
+            return (
+                jnp.where(do_slide, hpx + sdx * slide_dist, hpx),
+                jnp.where(do_slide, hpy + sdy * slide_dist, hpy),
+            )
+
+        hpx, hpy = jax.lax.cond(
+            jnp.any(slide_needed & moving),
+            slide_branch, lambda a, b: (a, b), hpx, hpy,
         )
-        do_slide = slide_needed & (slide_dist > 0.0)
-        hpx = jnp.where(do_slide, hpx + sdx * slide_dist, hpx)
-        hpy = jnp.where(do_slide, hpy + sdy * slide_dist, hpy)
 
         # ---- L3: ground snap under the slid position ----
         gcx, gcy, gcz = hpx, hpy, xz + top
         t_ground, _ = sweep(gcx, gcy, gcz, zero, zero, -one, False)
 
+        # ---- unstick resolution (lazy — stuck lanes are rare) ----
+        # 4 probes + the unstick ground check run only when some lane
+        # needs them; range-clamped, first-max tie-break as jnp.argmax
+        # (sim/movement.py apply_velocity_system)
         need_unstick = (t_ground <= 0.0) | stuck
-        take_un = need_unstick & any_dir
-        hpx = jnp.where(take_un, un_px, hpx)
-        hpy = jnp.where(take_un, un_py, hpy)
-        gcx = jnp.where(take_un, un_px, gcx)
-        gcy = jnp.where(take_un, un_py, gcy)
-        t_ground = jnp.where(take_un, t_ground_un, t_ground)
+
+        def unstick_branch(hpx, hpy, gcx, gcy, t_ground):
+            pad4 = jnp.concatenate([zero] * 4, axis=0)
+            OXu = jnp.concatenate(
+                [xx - r2 * vnx, xx + r2 * vny, xx + r2 * vnx,
+                 xx - r2 * vny, pad4], axis=0,
+            )
+            OYu = jnp.concatenate(
+                [xy - r2 * vny, xy - r2 * vnx, xy + r2 * vny,
+                 xy + r2 * vnx, pad4], axis=0,
+            )
+            OZu = jnp.concatenate(
+                [xz + low, xz + low, xz + low, xz + low, pad4], axis=0
+            )
+            DXu = jnp.concatenate([vnx, -vny, -vnx, vny, pad4], axis=0)
+            DYu = jnp.concatenate([vny, vnx, -vny, -vnx, pad4], axis=0)
+            DZu = jnp.concatenate([zero, zero, zero, zero, pad4], axis=0)
+            Tu, _ = sweep_stack(OXu, OYu, OZu, DXu, DYu, DZu, 4, False)
+
+            big = jnp.float32(3.0e38)
+            u0v = jnp.where(Tu[0:1] > UNSTICK_RANGE, big, Tu[0:1])
+            u1v = jnp.where(Tu[1:2] > UNSTICK_RANGE, big, Tu[1:2])
+            u2v = jnp.where(Tu[2:3] > UNSTICK_RANGE, big, Tu[2:3])
+            u3v = jnp.where(Tu[3:4] > UNSTICK_RANGE, big, Tu[3:4])
+            furthest = jnp.maximum(
+                jnp.maximum(u0v, u1v), jnp.maximum(u2v, u3v)
+            )
+            any_dir = furthest > 0.0
+            un_step = jnp.minimum(furthest - 2.0 * rr, -buf)
+            first0 = u0v >= furthest
+            first1 = ~first0 & (u1v >= furthest)
+            first2 = ~first0 & ~first1 & (u2v >= furthest)
+            bdx = jnp.where(
+                first0, vnx,
+                jnp.where(first1, -vny, jnp.where(first2, -vnx, vny)),
+            )
+            bdy = jnp.where(
+                first0, vny,
+                jnp.where(first1, vnx, jnp.where(first2, -vny, -vnx)),
+            )
+            un_px = xx + bdx * un_step
+            un_py = xy + bdy * un_step
+            un_gcz = xz + top
+            t_ground_un, _ = sweep(
+                un_px, un_py, un_gcz, zero, zero, -one, False
+            )
+
+            take_un = need_unstick & any_dir
+            return (
+                jnp.where(take_un, un_px, hpx),
+                jnp.where(take_un, un_py, hpy),
+                jnp.where(take_un, un_px, gcx),
+                jnp.where(take_un, un_py, gcy),
+                jnp.where(take_un, t_ground_un, t_ground),
+            )
+
+        hpx, hpy, gcx, gcy, t_ground = jax.lax.cond(
+            jnp.any(need_unstick),
+            unstick_branch,
+            lambda a, b, c, d, e: (a, b, c, d, e),
+            hpx, hpy, gcx, gcy, t_ground,
+        )
         no_ground = ~(t_ground < inf)
 
         fall_dist = jnp.minimum(t_ground, top) + rr
