@@ -83,11 +83,9 @@ class Env:
             sim_ctrl: jax.Array,
             force_reset: jax.Array,
         ):
-            f = functools.partial(
-                step_mod.step_world, cfg_static, m, collect_log=collect_log
-            )
-            return jax.vmap(f, in_axes=(0, 0, None, None, 0))(
-                state, actions, self.init_key_data, sim_ctrl, force_reset
+            return step_mod.step_batched(
+                cfg_static, m, state, actions, self.init_key_data,
+                sim_ctrl, force_reset, collect_log=collect_log,
             )
 
         self._reset_fn = jax.jit(_reset)
@@ -185,11 +183,9 @@ class Env:
         collect_log = self.collect_log
 
         def f(state, actions, sim_ctrl, force_reset):
-            g = functools.partial(
-                step_mod.step_world, cfg, m, collect_log=collect_log
-            )
-            return jax.vmap(g, in_axes=(0, 0, None, None, 0))(
-                state, actions, ikd, sim_ctrl, force_reset
+            return step_mod.step_batched(
+                cfg, m, state, actions, ikd, sim_ctrl, force_reset,
+                collect_log=collect_log,
             )
 
         return f

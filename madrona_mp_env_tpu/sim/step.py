@@ -14,6 +14,7 @@ vmapped over worlds by the Env.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -30,7 +31,7 @@ from .spawn import spawn_agents
 from .types import Actions, WorldState
 
 
-def step_world(
+def step_world_core(
     cfg: EnvConfig,
     m: MapData,
     state: WorldState,
@@ -39,7 +40,11 @@ def step_world(
     sim_ctrl: jax.Array,
     force_reset: jax.Array,
     collect_log: bool = False,
+    bot_overlay: bool = True,
 ) -> Tuple[WorldState, Dict[str, jax.Array]]:
+    """Steps 1-14 of the taskgraph (everything before reset + the
+    observation tail). ``bot_overlay=False`` skips the per-world bot
+    planner — step_batched hoists it behind a global any-bots cond."""
     stepk = rng.step_key(state.episode_key, state.cur_step)
 
     # raycast-culling cell of record for this step's movement/fire queries
@@ -52,10 +57,11 @@ def step_world(
         cells_pre = None
 
     # 1-2. scripted bot + action overlay
-    bot_acts = bot.plan_bot_actions(
-        cfg, m, state, rng.system_key(stepk, rng.Salt.BOT)
-    )
-    actions = bot.apply_bot_actions(cfg, state, actions, bot_acts)
+    if bot_overlay:
+        bot_acts = bot.plan_bot_actions(
+            cfg, m, state, rng.system_key(stepk, rng.Salt.BOT)
+        )
+        actions = bot.apply_bot_actions(cfg, state, actions, bot_acts)
 
     # 3. turret auto-aim controller drives team-1 rows (turretFireSystem,
     # sim.cpp:1617-1792)
@@ -184,11 +190,21 @@ def step_world(
             "game_events": ev,
         }
 
-    # 15. reset + observations tail
-    state = reset_mod.reset_system(
-        cfg, m, state, init_key_data, sim_ctrl, force_reset
-    )
+    outputs = {
+        "reward": reward_out,
+        "done": done,
+        "episode_result": episode_result,
+        "events": events,
+        **record_out,
+    }
+    return state, outputs
 
+
+def observe_tail(
+    cfg: EnvConfig, m: MapData, state: WorldState
+) -> Tuple[WorldState, Dict[str, jax.Array]]:
+    """Observation tail of the Step taskgraph (visibility -> masks ->
+    obs -> lidar -> full-team)."""
     if m.cells is not None:
         from ..ops.culling import cell_index
 
@@ -217,16 +233,93 @@ def step_world(
         ft_obs["full_team_done"] = ft_done
         obs.update(ft_obs)
         state = state.replace(ft_last_known=ft_lk)
+    return state, obs
 
-    outputs = {
-        "obs": obs,
-        "reward": reward_out,
-        "done": done,
-        "episode_result": episode_result,
-        "events": events,
-        **record_out,
-    }
-    return state, outputs
+
+def step_world(
+    cfg: EnvConfig,
+    m: MapData,
+    state: WorldState,
+    actions: Actions,
+    init_key_data: jax.Array,
+    sim_ctrl: jax.Array,
+    force_reset: jax.Array,
+    collect_log: bool = False,
+) -> Tuple[WorldState, Dict[str, jax.Array]]:
+    """One world's full Step taskgraph (core -> reset -> observations).
+    Batched callers should prefer step_batched, which skips the bot
+    planner and the reset machinery behind global any() conds."""
+    state, outputs = step_world_core(
+        cfg, m, state, actions, init_key_data, sim_ctrl, force_reset,
+        collect_log=collect_log,
+    )
+    state = reset_mod.reset_system(
+        cfg, m, state, init_key_data, sim_ctrl, force_reset
+    )
+    state, obs = observe_tail(cfg, m, state)
+    return state, {"obs": obs, **outputs}
+
+
+def step_batched(
+    cfg: EnvConfig,
+    m: MapData,
+    state: WorldState,
+    actions: Actions,
+    init_key_data: jax.Array,
+    sim_ctrl: jax.Array,
+    force_reset: jax.Array,
+    collect_log: bool = False,
+) -> Tuple[WorldState, Dict[str, jax.Array]]:
+    """All-worlds step with global early-outs the per-world vmap cannot
+    express (the reference's per-entity taskgraph nodes cost nothing for
+    entities that don't need them; here the analogue is a batch-level
+    lax.cond):
+
+    - the scripted-bot planner runs only when some agent anywhere is
+      assigned the A* bot policy (policy_idx == a_star_policy_id) —
+      training batches have none, vs-bot eval does;
+    - the reset machinery (respawn + curriculum + init) runs only on
+      steps where some world actually resets.
+
+    State/action leaves are [W, ...]; sim_ctrl is shared."""
+    def overlay(state, actions):
+        def f(s, a):
+            stepk = rng.step_key(s.episode_key, s.cur_step)
+            ba = bot.plan_bot_actions(
+                cfg, m, s, rng.system_key(stepk, rng.Salt.BOT)
+            )
+            return bot.apply_bot_actions(cfg, s, a, ba)
+
+        return jax.vmap(f)(state, actions)
+
+    actions = jax.lax.cond(
+        jnp.any(state.policy_idx == consts.a_star_policy_id),
+        overlay, lambda s, a: a, state, actions,
+    )
+
+    core = functools.partial(
+        step_world_core, cfg, m, collect_log=collect_log,
+        bot_overlay=False,
+    )
+    state, outputs = jax.vmap(core, in_axes=(0, 0, None, None, 0))(
+        state, actions, init_key_data, sim_ctrl, force_reset
+    )
+
+    do_reset = jnp.any(force_reset != 0)
+    if cfg.auto_reset:
+        do_reset = do_reset | jnp.any(state.is_finished)
+
+    def run_reset(state):
+        return jax.vmap(
+            lambda s, fr: reset_mod.reset_system(
+                cfg, m, s, init_key_data, sim_ctrl, fr
+            )
+        )(state, force_reset)
+
+    state = jax.lax.cond(do_reset, run_reset, lambda s: s, state)
+
+    state, obs = jax.vmap(lambda s: observe_tail(cfg, m, s))(state)
+    return state, {"obs": obs, **outputs}
 
 
 def init_and_observe(
