@@ -94,6 +94,10 @@ class MapData(NamedTuple):
     # (ops/culling.py RayTables); None -> dense fan fallback
     ray_cells: Optional[object] = None
 
+    # small-margin (MOVE_MARGIN) short tables for the 1-2-cast movement
+    # launches (L2/L3/fall packed culled casts); None -> dense fallback
+    short_mv: Optional[object] = None
+
     @property
     def max_dist(self):
         return jnp.linalg.norm(self.world_max - self.world_min)
@@ -242,6 +246,11 @@ def load_map(
     )
 
     short_tables = load_or_build_short_tables(tri_verts, cache_dir=scene_dir)
+    from ..ops.culling import MOVE_MARGIN
+
+    short_mv_tables = load_or_build_short_tables(
+        tri_verts, cache_dir=scene_dir, margin=MOVE_MARGIN, tag="_mv"
+    )
     ray_tables = load_or_build_ray_tables(
         tri_verts,
         cache_dir=scene_dir,
@@ -255,6 +264,7 @@ def load_map(
         world_max=jnp.asarray(col.world_bounds_max),
         cells=cell_tables,
         short=short_tables,
+        short_mv=short_mv_tables,
         nav_verts=jnp.asarray(tables.verts),
         nav_tri_indices=jnp.asarray(tables.tri_indices),
         nav_centroids=jnp.asarray(tables.centroids),

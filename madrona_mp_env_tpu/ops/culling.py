@@ -824,23 +824,35 @@ def pack_short_tables(raw: dict, tri_verts: np.ndarray) -> ShortTables:
     )
 
 
+# xy margin for the movement-cast table set (everything in the collide-and-
+# slide chain EXCEPT the 4 unstick probes): forward casts only need exact t
+# within move_dist + buf (max_run_velocity 400 * dt 0.05 = 20; beyond that
+# every consumer is clamped/min-ed, see sim/movement.py analysis), down
+# casts (slope / ground checks / fall) are xy-bounded by origin drift
+# (<= unstick 2r = 30) + agent_radius 15. 64 covers both with slack; the
+# probes need UNSTICK_RANGE 64 + 2r + r ~ 110 and stay on the 130 tables.
+MOVE_MARGIN = 64.0
+
+
 def load_or_build_short_tables(
-    tri_verts: np.ndarray, cache_dir: Optional[str] = None
+    tri_verts: np.ndarray, cache_dir: Optional[str] = None,
+    margin: float = SHORT_MARGIN, tag: str = "",
 ) -> ShortTables:
     """Short tables are cheap to build (ms of AABB tests) — cache is
-    best-effort (<map>/culling_short.npz)."""
+    best-effort (<map>/culling_short<tag>.npz)."""
     key = _tri_hash(tri_verts)
     path = None
     if cache_dir is not None:
-        path = os.path.join(cache_dir, "culling_short.npz")
+        path = os.path.join(cache_dir, f"culling_short{tag}.npz")
         if os.path.exists(path):
             raw = dict(np.load(path))
             if (
                 int(raw.get("version", -1)) == SHORT_TABLE_VERSION
                 and str(raw.get("tri_hash", "")) == key
+                and float(raw.get("margin", -1.0)) == float(margin)
             ):
                 return pack_short_tables(raw, tri_verts)
-    raw = build_short_tables(tri_verts)
+    raw = build_short_tables(tri_verts, margin=margin)
     raw["tri_hash"] = key
     if path is not None:
         try:
@@ -1244,3 +1256,58 @@ def agent_sorted_layout(cells: jax.Array, C: int, ab: int,
         total_repeat_length=B,
     )
     return SortedLayout(src=src, slot=slot, block_cell=block_cell, S=S)
+
+
+class PackedLayout(NamedTuple):
+    """Like SortedLayout, but ``apg`` agents of the same cell share one
+    8-lane slot (a *unit*): lane economics for 1-2-cast launches, where the
+    one-agent-per-slot layout wastes 6-7 of 8 lanes on padding."""
+
+    src: jax.Array  # [S_units * apg] i32 source agent per agent-slot
+    slot: jax.Array  # [N] i32 agent-slot of each source agent
+    block_cell: jax.Array  # [S_units // ab] i32 cell per ab-unit segment
+    S_units: int  # static padded unit count
+
+
+def packed_sorted_layout(cells: jax.Array, C: int, apg: int, ab: int,
+                         group_mult: int = 1) -> PackedLayout:
+    """agent_sorted_layout generalized to ``apg`` agents per 8-lane unit:
+    each cell's sorted run is packed apg agents to a unit, runs padded to
+    ``ab`` units so every segment of ab consecutive units shares one cell.
+    apg=1 degenerates to agent_sorted_layout. Static S_units is the worst
+    case (per-cell apg remainder + per-cell ab padding); extra units carry
+    dummy sources (src = N) and a clamped cell."""
+    N = cells.shape[0]
+    units_worst = -(-(N + C * (apg - 1)) // apg) + C * (ab - 1)
+    S_u = -(-units_worst // (ab * group_mult)) * (ab * group_mult)
+    B = S_u // ab
+
+    order = jnp.argsort(cells, stable=True)  # [N]
+    sorted_cells = cells[order]
+    run_start = jnp.searchsorted(
+        sorted_cells, jnp.arange(C, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    run_end = jnp.searchsorted(
+        sorted_cells, jnp.arange(C, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    counts = run_end - run_start
+    units = (counts + apg - 1) // apg
+    padded_units = ((units + ab - 1) // ab) * ab
+    unit_off = jnp.cumsum(padded_units) - padded_units  # exclusive
+    agent_off = unit_off * apg  # first agent-slot of each cell's run
+    offdiff = agent_off - run_start  # [C]
+    oh = sorted_cells[:, None] == jnp.arange(C, dtype=jnp.int32)  # [N, C]
+    offdiff_n = jnp.sum(jnp.where(oh, offdiff[None, :], 0), axis=-1)
+    slot_sorted = (
+        offdiff_n + jnp.arange(N, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    S_a = S_u * apg
+    src = jnp.full((S_a,), N, jnp.int32).at[slot_sorted].set(order)
+    slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)
+    blocks_per_cell = padded_units // ab
+    block_cell = jnp.repeat(
+        jnp.arange(C, dtype=jnp.int32), blocks_per_cell,
+        total_repeat_length=B,
+    )
+    return PackedLayout(src=src, slot=slot, block_cell=block_cell, S_units=S_u)

@@ -1547,11 +1547,12 @@ SC_TRI_CHUNK = 256  # triangle rows per epilogue chunk (sublanes)
 
 
 def _make_sc_kernel_planar(r: float, T: int, with_normal: bool = True,
-                           culled: bool = False):
+                           culled: bool = False, seg: int = None):
     """cols-layout sweep: tris on sublanes, casts on lanes. ``culled``
     wraps it for scalar-prefetch dispatch: the kernel then takes
     (block_cell_ref, planes, tri_block [1, K, 40], out) with the
-    per-block candidate table picked by the grid index map."""
+    per-block candidate table picked by the grid index map. ``seg``
+    overrides the lanes-per-cell-segment width (default SC_CULL_SEG)."""
     rr = float(r)
     n_chunks = -(-T // SC_TRI_CHUNK)
 
@@ -1705,10 +1706,12 @@ def _make_sc_kernel_planar(r: float, T: int, with_normal: bool = True,
         # one block spans SC_CULL_G cell-groups (in-kernel loop): the
         # per-block grid/DMA overhead (~5 us) dwarfed the 0.5 us of
         # per-group sweep compute at single-group blocks
+        seg_w = SC_CULL_SEG if seg is None else int(seg)
+
         def kernel(pln_ref, tri_ref, out_ref):
-            G = pln_ref.shape[1] // SC_CULL_SEG
+            G = pln_ref.shape[1] // seg_w
             for g in range(G):
-                sl = slice(g * SC_CULL_SEG, (g + 1) * SC_CULL_SEG)
+                sl = slice(g * seg_w, (g + 1) * seg_w)
                 t_b, i_b = body(
                     pln_ref[:, sl],
                     lambda lo, hi, g=g: tri_ref[g * T + lo:g * T + hi, :],
@@ -2004,6 +2007,152 @@ def sphere_cast_agent_culled(o_comps, d_comps, r: float, cells, short,
     t = jnp.where(t <= t_max, t, INF)
     # the kernel's winner index is already the GLOBAL tri row (table col
     # 40); sc_normals_from_idx clips the miss sentinel into range
+    idx_g = jnp.clip(i_glob.astype(jnp.int32), 0, 2 ** 24)
+    shp = tuple(batch) + (A, CPA)
+    return t.reshape(shp), idx_g.reshape(shp)
+
+
+# ---------------------------------------------------------------------------
+# Packed cell-culled planar sphere casts: apg same-cell agents share one
+# 8-lane slot — the lane-economic dispatch for the 1-2-cast movement
+# launches (L2 slide/ground-check, L3 ground snap, fall), which the
+# one-agent-per-slot layout above runs at 6-7/8 dummy lanes.
+# ---------------------------------------------------------------------------
+
+SC_PACK_AB = _env_int("MPENV_SCP_AB", 8)  # units per cell-run pad
+SC_PACK_G = _env_int("MPENV_SCP_G", 16)  # segments per Pallas block
+
+_SC_PACK_CACHE = {}
+
+
+def _get_sc_packed(r: float, K: int, apg: int, with_normal: bool):
+    ab, gm = SC_PACK_AB, SC_PACK_G
+    ck = (r, K, apg, with_normal, ab, gm, _interp())
+    if ck in _SC_PACK_CACHE:
+        return _SC_PACK_CACHE[ck]
+
+    seg = ab * 8  # lanes per cell segment
+    kernel = _make_sc_kernel_planar(r, K, with_normal, culled=True, seg=seg)
+    BCL = seg * gm
+
+    def call(block_cell, planes, table):
+        L = planes.shape[1]
+        cols = table.shape[-1]  # 41: sc consts + global-id column
+        tables_b = table.reshape(-1, K, cols)[block_cell].reshape(-1, cols)
+        return pl.pallas_call(
+            kernel,
+            grid=(L // BCL,),
+            in_specs=[
+                pl.BlockSpec((8, BCL), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gm * K, cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, BCL), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, L), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary" if _interp()
+                                     else "parallel",)
+            ),
+            interpret=_interp(),
+        )(planes, tables_b)
+
+    lpa = 8 // apg  # lanes per agent within a unit
+
+    @jax.custom_batching.custom_vmap
+    def scp_flat(oxa, oya, oza, dxa, dya, dza, cells, table):
+        """Agent-major comps [N, CPA] (CPA <= 8 // apg) + per-agent cells
+        [N] -> (t [N, CPA], GLOBAL winner tri row [N, CPA] f32)."""
+        from .culling import packed_sorted_layout
+
+        N, CPA = oxa.shape
+        C = table.shape[0] // K
+        layout = packed_sorted_layout(cells, C, apg, ab, group_mult=gm)
+        S_u = layout.S_units
+
+        def prep(x, fill):
+            xp = jnp.pad(
+                x, ((0, 0), (0, lpa - CPA)), constant_values=fill
+            )
+            dummy = jnp.full((1, lpa), fill, jnp.float32)
+            # [S_u * apg agent-slots, lpa] -> units of 8 lanes
+            return jnp.concatenate([xp, dummy], axis=0)[layout.src].reshape(
+                S_u, 8
+            )
+
+        # dummy casts (pad lanes + padded slots) originate far from every
+        # triangle: no overlap, no hit, all-inf
+        ox_s = prep(oxa, 1e9)
+        oy_s = prep(oya, 1e9)
+        oz_s = prep(oza, 1e9)
+        dx_s = prep(dxa, 0.0)
+        dy_s = prep(dya, 0.0)
+        dz_s = prep(dza, 0.0)
+        planes = jnp.stack(
+            [x.reshape(S_u * 8) for x in
+             (ox_s, oy_s, oz_s, dx_s, dy_s, dz_s)]
+            + [jnp.zeros((S_u * 8,), jnp.float32)] * 2,
+            axis=0,
+        )  # [8, S_u*8] lane = unit*8 + agent_in_unit*lpa + cast
+        out = call(layout.block_cell, planes, table)
+        t_n = out[0].reshape(S_u * apg, lpa)[layout.slot]  # [N, lpa]
+        i_n = out[1].reshape(S_u * apg, lpa)[layout.slot]
+        return t_n[:, :CPA], i_n[:, :CPA]
+
+    @scp_flat.def_vmap
+    def _vmap(axis_size, in_batched, oxa, oya, oza, dxa, dya, dza, cells,
+              table):
+        assert not in_batched[7]
+        B = axis_size
+
+        def bcast(x, batched):
+            if batched:
+                return x.reshape((-1,) + x.shape[2:])
+            return jnp.broadcast_to(x[None], (B,) + x.shape).reshape(
+                (-1,) + x.shape[1:]
+            )
+
+        args = [
+            bcast(x, b)
+            for x, b in zip((oxa, oya, oza, dxa, dya, dza, cells),
+                            in_batched[:7])
+        ]
+        t, ix = scp_flat(*args, table)
+        return (
+            t.reshape((B, -1) + t.shape[1:]),
+            ix.reshape((B, -1) + ix.shape[1:]),
+        ), (True, True)
+
+    _SC_PACK_CACHE[ck] = scp_flat
+    return scp_flat
+
+
+def sphere_cast_packed(o_comps, d_comps, r: float, cells, short,
+                       t_max=INF, with_normal: bool = False):
+    """Cell-culled grouped sphere casts with apg agents packed per 8-lane
+    slot: o_comps/d_comps (x, y, z) each [..., A, CPA] with CPA in {1, 2, 4}
+    (apg = 8 // next_pow2(CPA)); cells [..., A] short-table cell per agent.
+    Returns (t [..., A, CPA], GLOBAL winner tri row [..., A, CPA] i32).
+    Built for the L2/L3/fall movement casts against the MOVE_MARGIN short
+    tables (ops/culling.py): exact for xy-bounded down casts at any depth
+    and for forward casts within move_dist + buf of the agent's cell —
+    outside that range consumers are clamped/min-ed (sim/movement.py)."""
+    ox, oy, oz = o_comps
+    dx, dy, dz = d_comps
+    *batch, A, CPA = ox.shape
+    lpa = 1
+    while lpa < CPA:
+        lpa *= 2
+    assert lpa <= 8
+    apg = 8 // lpa
+    sc_flat = _get_sc_packed(float(r), short.K, apg, with_normal)
+    t, i_glob = sc_flat(
+        ox.reshape(-1, CPA), oy.reshape(-1, CPA), oz.reshape(-1, CPA),
+        dx.reshape(-1, CPA), dy.reshape(-1, CPA), dz.reshape(-1, CPA),
+        cells.reshape(-1), short.table,
+    )
+    t = jnp.where(t <= t_max, t, INF)
     idx_g = jnp.clip(i_glob.astype(jnp.int32), 0, 2 ** 24)
     shp = tuple(batch) + (A, CPA)
     return t.reshape(shp), idx_g.reshape(shp)

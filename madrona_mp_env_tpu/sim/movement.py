@@ -210,26 +210,42 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
         and os.environ.get("MPENV_SC_CULL", "1") == "1"
     )
 
+    use_pack = (
+        planar and getattr(m, "short_mv", None) is not None
+        and os.environ.get("MPENV_SC_PACK", "1") == "1"
+    )
+
     if planar:
         from ..ops.raycast import sphere_cast_planar
         from ..ops.raycast_pallas import (
             sc_normals_from_idx, sphere_cast_agent_culled,
+            sphere_cast_packed,
         )
 
         if use_short:
             from ..ops.culling import short_cell_index
 
             short_cells = short_cell_index(m.short, state.pos)  # [A]
+        if use_pack:
+            from ..ops.culling import short_cell_index
+
+            mv_cells = short_cell_index(m.short_mv, state.pos)  # [A]
 
         def planar_cast(o_comps, d_comps, with_normal=True):
             # comps [A, CPA] agent-major; returns (t, global winner row).
-            # Only the 7-cast L1 batch is worth culling: the culled
-            # kernel pads every agent to 8 cast lanes, so 1-2-cast batches
-            # (L2/L3/fall) waste 6-7 of 8 lanes on dummies and the dense
-            # planar kernel beats it (trace-measured).
+            # The 7-cast L1 batch rides the one-agent-per-slot culled
+            # kernel; the 1-2-cast batches (L2/L3/fall) pack 4-8 same-cell
+            # agents per 8-lane slot against the small-margin MOVE_MARGIN
+            # tables (exact for these casts — down casts are xy-bounded,
+            # forward casts only consumed within move_dist + buf).
             if use_short and o_comps[0].shape[-1] >= 7:
                 return sphere_cast_agent_culled(
                     o_comps, d_comps, r, short_cells, m.short,
+                    with_normal=with_normal,
+                )
+            if use_pack and o_comps[0].shape[-1] <= 4:
+                return sphere_cast_packed(
+                    o_comps, d_comps, r, mv_cells, m.short_mv,
                     with_normal=with_normal,
                 )
             return sphere_cast_planar(
@@ -449,9 +465,21 @@ def fall_system(cfg: EnvConfig, m: MapData, state: WorldState, cells=None):
         oc = (state.pos[:, 0:1], state.pos[:, 1:2],
               state.pos[:, 2:3] + (r + cast_offset))
         dc = (zz[:, None], zz[:, None], zz[:, None] - 1.0)
-        t4p, _ = sphere_cast_planar(
-            oc, dc, r, m.tris, with_normal=False
-        )
+        if (getattr(m, "short_mv", None) is not None
+                and os.environ.get("MPENV_SC_PACK", "1") == "1"):
+            # packed culled down cast: xy-bounded by r, exact at any depth
+            # against the MOVE_MARGIN tables
+            from ..ops.culling import short_cell_index
+            from ..ops.raycast_pallas import sphere_cast_packed
+
+            mv_cells = short_cell_index(m.short_mv, state.pos)
+            t4p, _ = sphere_cast_packed(
+                oc, dc, r, mv_cells, m.short_mv, with_normal=False
+            )
+        else:
+            t4p, _ = sphere_cast_planar(
+                oc, dc, r, m.tris, with_normal=False
+            )
         t_ground = t4p[:, 0]
     else:
         o = state.pos + up * (r + cast_offset)

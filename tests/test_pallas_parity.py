@@ -834,3 +834,157 @@ class TestMovementFused:
             f"{(~agent_ok).sum()} of {agent_ok.size} agents diverge "
             f"(max dp {dp.max():.4f})"
         )
+
+
+class TestPackedCulledCasts:
+    """Packed cell-culled sphere casts (apg same-cell agents per 8-lane
+    slot, MOVE_MARGIN short tables) vs the dense sweep, within the
+    movement-consumer contract: down casts exact at any depth, forward
+    casts exact within move_dist + buf (everything beyond is clamped or
+    min-ed by the consumers — see sim/movement.py)."""
+
+    CL = 20.8  # move_dist (max_run_velocity * dt = 20) + buf
+
+    def _map(self):
+        import madrona_mp_env_tpu as mp
+        from madrona_mp_env_tpu.assets.map_data import load_map
+
+        cfg = mp.EnvConfig(task=mp.Task.Zone, team_size=6)
+        m = load_map("data/simple_map", cfg)
+        assert m.short_mv is not None
+        return cfg, m
+
+    def test_l2_style_casts_map(self, map_soup):
+        """CPA=2 (slide + ground check): 4 agents packed per slot."""
+        from madrona_mp_env_tpu.ops.raycast_pallas import sphere_cast_packed
+        from madrona_mp_env_tpu.ops.culling import short_cell_index
+
+        _, m = self._map()
+        rng = np.random.RandomState(5)
+        A, CPA = 96, 2
+        pos = np.zeros((A, 3), np.float32)
+        pos[:, 0] = rng.uniform(-1900, 1900, A)
+        pos[:, 1] = rng.uniform(-1900, 1900, A)
+        pos[:, 2] = rng.uniform(0, 100, A)
+        # cast 0: forward within move range; cast 1: down with drift <= 30
+        ox = jnp.asarray(pos[:, 0:1] + rng.uniform(-18, 18, (A, CPA)).astype(np.float32))
+        oy = jnp.asarray(pos[:, 1:2] + rng.uniform(-18, 18, (A, CPA)).astype(np.float32))
+        oz = jnp.asarray(pos[:, 2:3] + rng.uniform(0, 65, (A, CPA)).astype(np.float32))
+        ang = rng.uniform(0, 2 * np.pi, (A, CPA)).astype(np.float32)
+        dx = jnp.asarray(np.cos(ang)).at[:, 1].set(0.0)
+        dy = jnp.asarray(np.sin(ang)).at[:, 1].set(0.0)
+        dz = jnp.zeros((A, CPA), jnp.float32).at[:, 1].set(-1.0)
+
+        cells = short_cell_index(m.short_mv, jnp.asarray(pos))
+        t_c, _ = sphere_cast_packed(
+            (ox, oy, oz), (dx, dy, dz), 15.0, cells, m.short_mv,
+            with_normal=False,
+        )
+        o = jnp.stack([ox, oy, oz], -1)
+        d = jnp.stack([dx, dy, dz], -1)
+        t_d, _ = rc._sphere_cast_vs_tris_dense(o, d, 15.0, m.tris)
+
+        # forward casts: equivalence classes beyond the consumer clamp
+        tc0 = np.where(np.asarray(t_c)[:, 0] > self.CL, np.inf,
+                       np.asarray(t_c)[:, 0])
+        td0 = np.where(np.asarray(t_d)[:, 0] > self.CL, np.inf,
+                       np.asarray(t_d)[:, 0])
+        assert (np.isfinite(tc0) == np.isfinite(td0)).all()
+        b = np.isfinite(tc0)
+        if b.any():
+            assert np.abs(tc0[b] - td0[b]).max() <= 1e-2
+        # down casts: exact at ANY depth
+        tc1 = np.asarray(t_c)[:, 1]
+        td1 = np.asarray(t_d)[:, 1]
+        assert (np.isfinite(tc1) == np.isfinite(td1)).all()
+        b1 = np.isfinite(tc1)
+        if b1.any():
+            assert np.abs(tc1[b1] - td1[b1]).max() <= 1e-2
+
+    def test_single_down_casts_map(self, map_soup):
+        """CPA=1 (L3 ground snap / fall): 8 agents packed per slot."""
+        from madrona_mp_env_tpu.ops.raycast_pallas import sphere_cast_packed
+        from madrona_mp_env_tpu.ops.culling import short_cell_index
+
+        _, m = self._map()
+        rng = np.random.RandomState(9)
+        A = 200
+        pos = np.zeros((A, 3), np.float32)
+        pos[:, 0] = rng.uniform(-1900, 1900, A)
+        pos[:, 1] = rng.uniform(-1900, 1900, A)
+        pos[:, 2] = rng.uniform(0, 200, A)
+        ox = jnp.asarray(pos[:, 0:1] + rng.uniform(-30, 30, (A, 1)).astype(np.float32))
+        oy = jnp.asarray(pos[:, 1:2] + rng.uniform(-30, 30, (A, 1)).astype(np.float32))
+        oz = jnp.asarray(pos[:, 2:3] + rng.uniform(0, 65, (A, 1)).astype(np.float32))
+        dx = jnp.zeros((A, 1), jnp.float32)
+        dy = jnp.zeros((A, 1), jnp.float32)
+        dz = -jnp.ones((A, 1), jnp.float32)
+
+        cells = short_cell_index(m.short_mv, jnp.asarray(pos))
+        t_c, _ = sphere_cast_packed(
+            (ox, oy, oz), (dx, dy, dz), 15.0, cells, m.short_mv,
+            with_normal=False,
+        )
+        o = jnp.stack([ox, oy, oz], -1)
+        d = jnp.stack([dx, dy, dz], -1)
+        t_d, _ = rc._sphere_cast_vs_tris_dense(o, d, 15.0, m.tris)
+        tc = np.asarray(t_c)[:, 0]
+        td = np.asarray(t_d)[:, 0]
+        assert (np.isfinite(tc) == np.isfinite(td)).all()
+        b = np.isfinite(tc)
+        if b.any():
+            assert np.abs(tc[b] - td[b]).max() <= 1e-2
+
+    def test_movement_outcomes_pack_vs_dense(self, monkeypatch):
+        """apply_velocity + fall with the packed culled L2/L3/fall casts
+        vs the all-dense planar split: final pos/vel must agree (the
+        packed tables are outcome-exact by construction)."""
+        import madrona_mp_env_tpu as mp
+        from madrona_mp_env_tpu.sim import movement
+        from madrona_mp_env_tpu.sim.types import init_world_state
+
+        cfg, m = self._map()
+        A = cfg.num_agents
+        W = 8
+        k = jax.random.PRNGKey(23)
+        ks = jax.random.split(k, 5)
+        st = init_world_state(cfg, 1)
+        st = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (W,) + x.shape), st
+        )
+        pos = jax.random.uniform(ks[0], (W, A, 3), minval=-1800.0,
+                                 maxval=1800.0)
+        pos = pos.at[..., 2].set(
+            jax.random.uniform(ks[1], (W, A), minval=1.0, maxval=60.0)
+        )
+        vel = jax.random.uniform(ks[2], (W, A, 3), minval=-350.0,
+                                 maxval=350.0)
+        # |v_xy| <= 400 (the game clamp the packed tables assume)
+        vn = jnp.linalg.norm(vel[..., :2], axis=-1, keepdims=True)
+        vel = vel.at[..., :2].multiply(
+            jnp.minimum(1.0, 390.0 / jnp.maximum(vn, 1e-6))
+        )
+        cur = jax.random.randint(ks[3], (W, A), 0, 3)
+        alive = (jax.random.uniform(ks[4], (W, A)) > 0.1).astype(jnp.float32)
+        st = st.replace(pos=pos, vel=vel, stand_cur=cur, alive=alive)
+
+        def run(s):
+            def f(sw):
+                sw = movement.apply_velocity_system(cfg, m, sw)
+                return movement.fall_system(cfg, m, sw)
+
+            return jax.vmap(f)(s)
+
+        monkeypatch.setenv("MPENV_SC_PACK", "1")
+        monkeypatch.setenv("MPENV_SC_CULL", "0")  # isolate the packed path
+        out_p = run(st)
+        monkeypatch.setenv("MPENV_SC_PACK", "0")
+        out_d = run(st)
+        dp = np.abs(np.asarray(out_p.pos) - np.asarray(out_d.pos))
+        dv = np.abs(np.asarray(out_p.vel) - np.asarray(out_d.vel))
+        agent_ok = (dp.max(-1) <= 1e-3) & (dv.max(-1) <= 0.1)
+        frac = 1.0 - agent_ok.mean()
+        assert frac <= 0.01, (
+            f"{(~agent_ok).sum()} of {agent_ok.size} agents diverge "
+            f"(max dp {dp.max():.4f})"
+        )
