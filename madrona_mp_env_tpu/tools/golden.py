@@ -145,7 +145,11 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
-    if args.cpu:
+    if args.cpu or args.generate:
+        # The golden contract is the CPU dense path (tests/test_golden.py);
+        # this image's sitecustomize force-registers the axon TPU backend
+        # and overrides JAX_PLATFORMS, so --generate must pin CPU itself.
+        # (Round 3 shipped a TPU-generated golden because it didn't.)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
