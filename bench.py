@@ -21,6 +21,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compiled-executable cache: the full env-step program takes many
+# minutes to compile through the remote-compile tunnel; caching makes repeat
+# benchmark runs start in seconds and does not affect the measured steady-state
+# throughput (timing starts after an untimed warmup block).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcomp")
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+
 
 def bench_train(args):
     """Fused actor-learner throughput (rollout + GAE + PPO inside one jit —

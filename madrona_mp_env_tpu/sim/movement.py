@@ -212,7 +212,7 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
 
     use_pack = (
         planar and getattr(m, "short_mv", None) is not None
-        and os.environ.get("MPENV_SC_PACK", "1") == "1"
+        and os.environ.get("MPENV_SC_PACK", "0") == "1"
     )
 
     if planar:
@@ -466,7 +466,7 @@ def fall_system(cfg: EnvConfig, m: MapData, state: WorldState, cells=None):
               state.pos[:, 2:3] + (r + cast_offset))
         dc = (zz[:, None], zz[:, None], zz[:, None] - 1.0)
         if (getattr(m, "short_mv", None) is not None
-                and os.environ.get("MPENV_SC_PACK", "1") == "1"):
+                and os.environ.get("MPENV_SC_PACK", "0") == "1"):
             # packed culled down cast: xy-bounded by r, exact at any depth
             # against the MOVE_MARGIN tables
             from ..ops.culling import short_cell_index
