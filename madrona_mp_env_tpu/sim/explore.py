@@ -122,14 +122,17 @@ def goal_regions_system(cfg: EnvConfig, m: MapData, state: WorldState):
     )
 
 
-def filters_system(cfg: EnvConfig, state: WorldState, shot_victims):
+def filters_system(cfg: EnvConfig, state: WorldState, shot_victims,
+                   step_override=None):
     """Hardcoded analytics filters (updateFiltersState, sim.cpp:128-291):
     filter 0: >=5 players of a team in region A; filter 1: >=1 in region B;
     filter 2: any player-shot event by the team. A team 'matches' when all 3
-    are active within the match window (0 steps)."""
+    are active within the match window (0 steps). ``step_override`` lets the
+    fused-tail path run this system before the match-info step increment
+    while keeping the reference's post-increment step stamp."""
     A = cfg.num_agents
     teams = jnp.arange(A, dtype=jnp.int32) // cfg.team_size
-    step = state.cur_step
+    step = state.cur_step if step_override is None else step_override
 
     regions = jnp.asarray(
         [

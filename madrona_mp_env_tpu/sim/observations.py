@@ -67,15 +67,28 @@ def _trace_world_and_agents(m: MapData, o, d, pos, alive_mask, self_idx=None,
     return t, hit_agent
 
 
+def _flank_los(cfg: EnvConfig) -> bool:
+    """Flank reward mode needs self->teammate LOS too (flankRewardSystem
+    teammate positioning term, reference src/sim.cpp:4233-4246)."""
+    from ..config import RewardMode
+
+    return cfg.task == Task.Zone and cfg.reward_mode == RewardMode.Flank
+
+
 def _los_geometry(cfg: EnvConfig, state: WorldState):
     """LOS sample rays: 4 points per opponent (isAgentVisible,
-    utils.cpp:186-271). Returns the per-ray geometry shared by
-    visibility_system and the fused sensor fan."""
+    utils.cpp:186-271). In Flank reward mode the target table additionally
+    includes the agent's own team (self slot is never visible: its sample
+    rays fail the frustum/self-capsule pretests). Returns the per-ray
+    geometry shared by visibility_system and the fused sensor fan."""
     A = cfg.num_agents
     ts = cfg.team_size
     teams = jnp.arange(A, dtype=jnp.int32) // ts
     # opponent index table: opp_idx[a, j] = j-th opponent of agent a
     opp_idx = (1 - teams[:, None]) * ts + jnp.arange(ts)[None, :]  # [A, ts]
+    if _flank_los(cfg):
+        own_idx = teams[:, None] * ts + jnp.arange(ts)[None, :]  # [A, ts]
+        opp_idx = jnp.concatenate([opp_idx, own_idx], axis=1)  # [A, 2*ts]
 
     eye = state.pos + jnp.stack(
         [jnp.zeros((A,)), jnp.zeros((A,)), view_height(state.stand_cur)],
@@ -143,13 +156,15 @@ def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState,
     ts = cfg.team_size
 
     los = _los_geometry(cfg, state)
-    ray_d = los["ray_d"]  # [A, ts, 4, 3]
+    ray_d = los["ray_d"]  # [A, n_tgt, 4, 3] (n_tgt = ts, or 2*ts in Flank)
+    n_tgt = los["opp_idx"].shape[1]
+    n_los = n_tgt * 4
     # component planes: the whole sensor pipeline stays [A, F]-shaped so
     # nothing ever materializes a [..., 3]-minor ray array (XLA pads the
     # 3-wide minor dim to 128 lanes — a 32x physical blowup at this scale)
-    los_dx = ray_d[..., 0].reshape(A, ts * 4)
-    los_dy = ray_d[..., 1].reshape(A, ts * 4)
-    los_dz = ray_d[..., 2].reshape(A, ts * 4)
+    los_dx = ray_d[..., 0].reshape(A, n_los)
+    los_dy = ray_d[..., 1].reshape(A, n_los)
+    los_dz = ray_d[..., 2].reshape(A, n_los)
     eye_z = view_height(state.stand_cur)  # LOS origin z offset
 
     (fwd_dx, fwd_dy, fwd_dz), fwd_z = _lidar_fan_components(
@@ -171,7 +186,7 @@ def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState,
     # static z-group runs: LOS rays share the eye height; each lidar row
     # shares its height (z constant along a row by construction above) —
     # lets the TPU fan kernels hoist every z term out of the pair loop
-    zgroups = (ts * 4,) + (
+    zgroups = (n_los,) + (
         (consts.fwd_lidar_width,) * consts.fwd_lidar_height
     ) + ((consts.rear_lidar_width,) * consts.rear_lidar_height)
     ray_cells = None
@@ -227,16 +242,16 @@ def build_sensor_rays(cfg: EnvConfig, m: MapData, state: WorldState,
 
     H_f, W_f = consts.fwd_lidar_height, consts.fwd_lidar_width
     H_r, W_r = consts.rear_lidar_height, consts.rear_lidar_width
-    s0, s1 = ts * 4, ts * 4 + n_fwd
+    s0, s1 = n_los, n_los + n_fwd
     return {
         "los": los,
-        "los_t": t[:, :s0].reshape(A, ts, 4),
+        "los_t": t[:, :s0].reshape(A, n_tgt, 4),
         "fwd_t": t[:, s0:s1].reshape(A, H_f, W_f),
         "rear_t": t[:, s1:].reshape(A, H_r, W_r),
-        "los_cap_t": t_cap[:, :s0].reshape(A, ts, 4),
+        "los_cap_t": t_cap[:, :s0].reshape(A, n_tgt, 4),
         "fwd_cap_t": t_cap[:, s0:s1].reshape(A, H_f, W_f),
         "rear_cap_t": t_cap[:, s1:].reshape(A, H_r, W_r),
-        "los_cap_idx": cap_idx[:, :s0].reshape(A, ts, 4),
+        "los_cap_idx": cap_idx[:, :s0].reshape(A, n_tgt, 4),
         "fwd_cap_idx": cap_idx[:, s0:s1].reshape(A, H_f, W_f),
         "rear_cap_idx": cap_idx[:, s1:].reshape(A, H_r, W_r),
     }
@@ -340,6 +355,18 @@ def visibility_system(cfg: EnvConfig, m: MapData, state: WorldState,
     target_alive = (state.alive > 0.0)[opp_idx]
     can_see = can_see & viewer_alive & target_alive
     return can_see, opp_idx
+
+
+def split_visibility(cfg: EnvConfig, state: WorldState, can_see, opp_idx):
+    """Split the visibility table into the opponent half consumed by the
+    masks/obs systems and (Flank mode only) write the own-team half into
+    state.prev_teammate_vis for next step's flankRewardSystem terms."""
+    ts = cfg.team_size
+    if _flank_los(cfg):
+        state = state.replace(prev_teammate_vis=can_see[:, ts:])
+        can_see = can_see[:, :ts]
+        opp_idx = opp_idx[:, :ts]
+    return state, can_see, opp_idx
 
 
 def opponent_masks_system(cfg: EnvConfig, state: WorldState, can_see, opp_idx):

@@ -130,6 +130,9 @@ def replay_step_world(
     can_see, opp_idx = observations.visibility_system(
         cfg, m, state, sensor=sensor
     )
+    state, can_see, opp_idx = observations.split_visibility(
+        cfg, state, can_see, opp_idx
+    )
     masks = observations.opponent_masks_system(cfg, state, can_see, opp_idx)
     state, obs = observations.observations_system(
         cfg, m, state, can_see, opp_idx, masks

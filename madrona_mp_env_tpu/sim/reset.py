@@ -138,6 +138,7 @@ def init_world(
         last_known_obs=jnp.zeros((A, T, OTHER_OB_DIM), f),
         last_known_pos=jnp.full((A, T, 3), -1000.0, f),
         prev_can_see=jnp.zeros((A, T), bool),
+        prev_teammate_vis=jnp.zeros((A, T), bool),
         ft_last_known=jnp.zeros_like(state.ft_last_known),
         crumb_pos=jnp.zeros_like(state.crumb_pos),
         crumb_penalty=jnp.zeros_like(state.crumb_penalty),

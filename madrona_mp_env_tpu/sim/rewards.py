@@ -155,10 +155,37 @@ def reward_system(cfg: EnvConfig, m: MapData, state: WorldState) -> WorldState:
         )
         r = r + jnp.where(state.is_finished, terminal, 0.0)
     elif cfg.task == Task.Zone and cfg.reward_mode == RewardMode.Flank:
-        # flankRewardSystem (sim.cpp:4211-4290) needs LOS terms; those are
-        # computed in observations — approximate with prev-step visibility.
+        # flankRewardSystem (sim.cpp:4211-4290). The reference raycasts LOS
+        # inside the reward system with current positions; here the LOS
+        # terms come from the previous step's fused sensor fan
+        # (prev_teammate_vis / prev_can_see, one step stale) while the
+        # distance term uses current positions like the reference.
+        ts = cfg.team_size
         r = jnp.zeros((A,))
         new_min = state.min_dist_to_zone
+
+        # teammate positioning (+0.001 per teammate that is >=100 away OR
+        # not visible; sim.cpp:4228-4246)
+        own_idx = teams[:, None] * ts + jnp.arange(ts)[None, :]  # [A, ts]
+        not_self = own_idx != jnp.arange(A)[:, None]
+        d = state.pos[own_idx] - state.pos[:, None, :]  # [A, ts, 3]
+        dist2 = jnp.sum(d * d, axis=-1)
+        flank_dist = 100.0
+        spread_ok = (dist2 >= flank_dist * flank_dist) | (
+            ~state.prev_teammate_vis
+        )
+        r = r + 0.001 * jnp.sum(not_self & spread_ok, axis=-1)
+
+        # opponent positioning (+0.001 per opponent that cannot see the
+        # agent; sim.cpp:4250-4267). Uses the opponent's own prev-step
+        # visibility row: opponent o's slot table lists my team in index
+        # order, so my slot there is my team offset.
+        opp_idx = (1 - teams[:, None]) * ts + jnp.arange(ts)[None, :]
+        offs = jnp.arange(A, dtype=jnp.int32) % ts
+        opp_sees_me = state.prev_can_see[opp_idx, offs[:, None]]  # [A, ts]
+        r = r + 0.001 * jnp.sum(~opp_sees_me, axis=-1)
+
+        # behind-shot bonus (sim.cpp:4269-4283)
         tgt = state.landed_shot_on
         tgt_c = jnp.clip(tgt, 0, A - 1)
         yaw_diff = jnp.abs(state.yaw[tgt_c] - state.yaw)

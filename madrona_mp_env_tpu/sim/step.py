@@ -104,51 +104,72 @@ def step_world_core(
             cfg, m, state,
             rng.system_key(stepk, rng.Salt.SPAWN), is_respawn=True,
         )
-    state = combat.autoheal_system(cfg, state)
+    from ..ops.tail_pallas import tail_fused_system, use_tail_fused
 
-    # 8. zone (+ optional sub-zones, sim.cpp:5542-5556)
-    if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
-        state = zones.zone_system(cfg, m, state)
-    if cfg.has_flag(SimFlags.SubZones):
-        from . import subzones
-
-        state = subzones.subzone_system(cfg, m, state)
-
-    # 9. record export (pvpRecordSystem slot, sim.cpp:5557-5563): captures
-    # cur_step BEFORE the match-info increment, exactly like the reference
-    # graph order (record = step 9, matchInfo step++ = step 11)
-    step_log = None
-    if collect_log:
-        from ..data import export as data_export
-
-        step_log = data_export.step_log_export(cfg, state)
-
-    # 10. breadcrumbs
-    state = breadcrumbs.breadcrumb_system(cfg, state)
-
-    # 11. match info + analytics filters
-    if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
-        state, new_captured = zones.zone_match_info_system(
-            cfg, m, state, force_reset != 0
+    if use_tail_fused(cfg, m, collect_log):
+        # Fused scalar tail: ONE Pallas launch for autoheal -> zone ->
+        # match-info -> rewards (ops/tail_pallas.py). breadcrumbs /
+        # filters / goal-regions / explore commute with that chain (none
+        # read zone or match state) and are hoisted before it; filters
+        # receives the post-increment step stamp explicitly.
+        step_log = None
+        state = breadcrumbs.breadcrumb_system(cfg, state)
+        state = explore.filters_system(
+            cfg, state, fire_events["shot_victim"],
+            step_override=state.cur_step + 1,
         )
-    elif cfg.task == Task.Turret:
-        from . import turret as turret_mod
-
-        state, new_captured = turret_mod.turret_match_info_system(
-            cfg, state, force_reset != 0
+        state = explore.goal_regions_system(cfg, m, state)
+        state = explore.explore_visited_system(cfg, state)
+        state, new_captured = tail_fused_system(
+            cfg, m, state, force_reset
         )
     else:
-        state, new_captured = zones.tdm_match_info_system(
-            cfg, state, force_reset != 0
-        )
-    state = explore.filters_system(cfg, state, fire_events["shot_victim"])
+        state = combat.autoheal_system(cfg, state)
 
-    # 12. goal regions + explore grid
-    state = explore.goal_regions_system(cfg, m, state)
-    state = explore.explore_visited_system(cfg, state)
+        # 8. zone (+ optional sub-zones, sim.cpp:5542-5556)
+        if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
+            state = zones.zone_system(cfg, m, state)
+        if cfg.has_flag(SimFlags.SubZones):
+            from . import subzones
 
-    # 13. rewards (+ team + final)
-    state = rewards.reward_system(cfg, m, state)
+            state = subzones.subzone_system(cfg, m, state)
+
+        # 9. record export (pvpRecordSystem slot, sim.cpp:5557-5563):
+        # captures cur_step BEFORE the match-info increment, exactly like
+        # the reference graph order (record = step 9, matchInfo step++ =
+        # step 11)
+        step_log = None
+        if collect_log:
+            from ..data import export as data_export
+
+            step_log = data_export.step_log_export(cfg, state)
+
+        # 10. breadcrumbs
+        state = breadcrumbs.breadcrumb_system(cfg, state)
+
+        # 11. match info + analytics filters
+        if cfg.task in (Task.Zone, Task.ZoneCaptureDefend):
+            state, new_captured = zones.zone_match_info_system(
+                cfg, m, state, force_reset != 0
+            )
+        elif cfg.task == Task.Turret:
+            from . import turret as turret_mod
+
+            state, new_captured = turret_mod.turret_match_info_system(
+                cfg, state, force_reset != 0
+            )
+        else:
+            state, new_captured = zones.tdm_match_info_system(
+                cfg, state, force_reset != 0
+            )
+        state = explore.filters_system(cfg, state, fire_events["shot_victim"])
+
+        # 12. goal regions + explore grid
+        state = explore.goal_regions_system(cfg, m, state)
+        state = explore.explore_visited_system(cfg, state)
+
+        # 13. rewards (+ team + final)
+        state = rewards.reward_system(cfg, m, state)
 
     # 14. done
     done = jnp.broadcast_to(
@@ -214,6 +235,9 @@ def observe_tail(
     sensor = observations.build_sensor_rays(cfg, m, state, cells=cells_post)
     can_see, opp_idx = observations.visibility_system(
         cfg, m, state, sensor=sensor
+    )
+    state, can_see, opp_idx = observations.split_visibility(
+        cfg, state, can_see, opp_idx
     )
     masks = observations.opponent_masks_system(cfg, state, can_see, opp_idx)
     state, obs = observations.observations_system(
@@ -343,6 +367,9 @@ def init_and_observe(
     sensor = observations.build_sensor_rays(cfg, m, state, cells=cells_post)
     can_see, opp_idx = observations.visibility_system(
         cfg, m, state, sensor=sensor
+    )
+    state, can_see, opp_idx = observations.split_visibility(
+        cfg, state, can_see, opp_idx
     )
     masks = observations.opponent_masks_system(cfg, state, can_see, opp_idx)
     state, obs = observations.observations_system(

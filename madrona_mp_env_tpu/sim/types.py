@@ -131,6 +131,9 @@ class WorldState:
     # --- previous-step sensor state consumed by the scripted bot ---
     prev_fwd_depth: jax.Array  # [A, fwd_h, fwd_w] f32
     prev_can_see: jax.Array  # [A, max_team_size] bool
+    # prev-step self->teammate LOS (flankRewardSystem positioning terms,
+    # reference src/sim.cpp:4233-4246; written only in Flank reward mode)
+    prev_teammate_vis: jax.Array  # [A, max_team_size] bool (own-team slots)
 
     # --- full-team interface persistent last-known enemy obs ---
     # (FullTeamLastKnownEnemyObservations, types.hpp:1110-1112)
@@ -252,6 +255,7 @@ def init_world_state(cfg: EnvConfig, num_goal_regions: int) -> WorldState:
             (A, consts.fwd_lidar_height, consts.fwd_lidar_width), f
         ),
         prev_can_see=jnp.zeros((A, T), bool),
+        prev_teammate_vis=jnp.zeros((A, T), bool),
         ft_last_known=jnp.zeros((2, T, 14 + T), f),
         team_a=jnp.zeros((), i),
         cur_step=jnp.zeros((), i),
