@@ -162,7 +162,14 @@ class EvalManager:
         return env_state, obs, rnn
 
     def _policy_obs(self, obs):
-        return {k: obs[k] for k in POLICY_OBS_KEYS}
+        out = {k: obs[k] for k in POLICY_OBS_KEYS}
+        # flatten lidar planes exactly like the trainer's rollout buffers
+        # (TrainingManager._policy_obs) — the normalizer stats saved in a
+        # checkpoint are keyed to the flat [h*w*c] feature axis
+        for k in ("fwd_lidar", "rear_lidar"):
+            v = out[k]
+            out[k] = v.reshape(v.shape[:-3] + (-1,))
+        return out
 
     def _rollout_chunk_impl(
         self, params, normalizer, env_state, obs, rnn, elo, key
