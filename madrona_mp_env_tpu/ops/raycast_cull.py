@@ -601,39 +601,48 @@ def _make_cap_kernel(AF: int, A: int, radius: float, seg_h: float,
                 oy = jnp.sum(jnp.where(oh, py, 0.0), axis=0, keepdims=True)
                 ozb = jnp.sum(jnp.where(oh, pz, 0.0), axis=0, keepdims=True)
                 oz = ozb + zoff
+                not_self = ~oh
             else:
                 # rows: ox oy oz dx dy dz self_idx pad
                 ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
                 dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
                 self_idx = r[6:7, :]
+                not_self = cap_i != self_idx
 
-            valid = alive & (cap_i != self_idx) & (cap_i < float(A))
+            # pad rows (cap_i >= A) ship alive=0, so no explicit index check
+            valid = alive & not_self
+
+            # per-ray terms hoisted to [1, AF] rows (1/16 tile cost):
+            # aa = 1 - dz^2 and its reciprocal replace a full-tile divide
+            aa = 1.0 - dz * dz  # [1, AF]
+            nondeg = aa > 1e-12
+            inv_aa = 1.0 / jnp.where(nondeg, aa, jnp.float32(1.0))
 
             # capsule segment: p0 = base + (0,0,r), axis +z, length sh
             mx = ox - px
             my = oy - py
             mz = oz - (pz + rr)
-            # cylinder: c = mx^2 + my^2 - r^2 (z-aligned axis drops out)
-            aa = 1.0 - dz * dz  # [1, AF]
-            bb = (mx * dx + my * dy + mz * dz) - mz * dz
-            cc = mx * mx + my * my - rr * rr
+            # cylinder: c = mx^2 + my^2 - r^2 (z-aligned axis drops out of
+            # b and c); bb/cc are shared with both end-cap sphere tests
+            bb = mx * dx + my * dy
+            cc = (mx * mx + my * my) - rr * rr
             disc = bb * bb - aa * cc
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            safe_a = jnp.where(jnp.abs(aa) > 1e-12, aa, jnp.float32(1.0))
-            t_cyl = (-bb - sq) / safe_a
+            t_cyl = (-bb - sq) * inv_aa
             zh = mz + t_cyl * dz
             inf = jnp.float32(np.inf)
             cyl_ok = (
-                (jnp.abs(aa) > 1e-12) & (disc >= 0.0) & (t_cyl >= 0.0)
+                nondeg & (disc >= 0.0) & (t_cyl >= 0.0)
                 & (zh >= 0.0) & (zh <= sh)
             )
             t = jnp.where(cyl_ok, t_cyl, inf)
 
-            # end-cap spheres at z offsets 0 and sh
+            # end-cap spheres at z offsets 0 and sh: b2 = bb + mzz*dz,
+            # c2 = cc + mzz^2 (only the z terms differ from the cylinder)
             for z0 in (0.0, sh):
-                mzz = mz - z0
-                b2 = mx * dx + my * dy + mzz * dz
-                c2 = mx * mx + my * my + mzz * mzz - rr * rr
+                mzz = mz if z0 == 0.0 else mz - z0
+                b2 = bb + mzz * dz
+                c2 = cc + mzz * mzz
                 disc2 = b2 * b2 - c2
                 sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
                 ts = -b2 - sq2

@@ -31,13 +31,16 @@ def breadcrumb_system(cfg: EnvConfig, state: WorldState):
     slots = jnp.arange(C)
 
     pos = state.pos
-    crumb_pos = state.crumb_pos
-    crumb_penalty = state.crumb_penalty
-    crumb_team = state.crumb_team
-    crumb_owner = state.crumb_owner
+    # lazy reset clear (initWorld's eager pool clear moved here; the
+    # selects fuse into the full pool rewrites this system already does)
+    wr = state.was_reset
+    crumb_pos = jnp.where(wr, 0.0, state.crumb_pos)
+    crumb_penalty = jnp.where(wr, 0.0, state.crumb_penalty)
+    crumb_team = jnp.where(wr, -1, state.crumb_team)
+    crumb_owner = jnp.where(wr, -1, state.crumb_owner)
 
     # --- leaveBreadcrumbsSystem ---
-    last = state.crumb_last  # [A] slot idx or -1
+    last = jnp.where(wr, -1, state.crumb_last)  # [A] slot idx or -1
     last_oh = (last[:, None] == slots) & (last >= 0)[:, None]  # [A, C]
     lastf = last_oh.astype(jnp.float32)
     last_pen = lastf @ crumb_penalty  # [A] gather via one-hot
@@ -54,7 +57,8 @@ def breadcrumb_system(cfg: EnvConfig, state: WorldState):
     refresh = jnp.any(last_oh & near_last[:, None], axis=0)  # [C]
     crumb_penalty = jnp.where(refresh, consts.breadcrumb_penalty, crumb_penalty)
 
-    steps_since = jnp.where(near_last, 0, state.crumb_steps_since + 1)
+    steps_since_prev = jnp.where(wr, 0, state.crumb_steps_since)
+    steps_since = jnp.where(near_last, 0, steps_since_prev + 1)
     want_new = (~near_last) & (steps_since > consts.breadcrumb_frequency)
 
     # allocate free slots for agents dropping new crumbs. Each agent owns a

@@ -46,7 +46,10 @@ def explore_visited_system(cfg: EnvConfig, state: WorldState):
     # one-hot masked read/update on the flat [A, H*W] bit array: the
     # per-agent (cy, word) gather + scatter pair serializes on TPU
     # (~0.3 ms/step at 12k agents); the mask compare + OR is full-vector
-    flat = state.explore_bits.reshape(A, H * EXPLORE_WORDS)
+    # lazy reset clear (fuses into the full-array OR rewrite below)
+    flat = jnp.where(
+        state.was_reset, jnp.uint32(0), state.explore_bits
+    ).reshape(A, H * EXPLORE_WORDS)
     sel = cy * EXPLORE_WORDS + word  # [A]
     mask = sel[:, None] == jnp.arange(H * EXPLORE_WORDS)  # [A, H*W]
     cur_bits = jnp.sum(

@@ -187,7 +187,8 @@ def full_team_observations_system(
 
         # last-known: copy of the enemy common ob while known, cleared on
         # death (sim.cpp:3263-3293); persistent across steps
-        prev = state.ft_last_known[team]
+        # lazy reset clear (fuses into the known/cleared selects below)
+        prev = jnp.where(state.was_reset, 0.0, state.ft_last_known[team])
         known_now = (knows[:, 0] > 0.0) & alive_en
         cleared = state.was_killed[theirs]
         lk = jnp.where(known_now[:, None], common_en, prev)

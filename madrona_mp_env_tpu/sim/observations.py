@@ -631,8 +631,11 @@ def observations_system(
 
     # --- last-known update (sim.cpp:3010-3051) ---
     opp_killed = state.was_killed[opp_idx]
-    last_obs = state.last_known_obs
-    last_pos = state.last_known_pos
+    # lazy reset clear (initWorld's eager clear moved here; this select
+    # fuses into the full rewrite below — no extra memory traffic)
+    wr = state.was_reset
+    last_obs = jnp.where(wr, 0.0, state.last_known_obs)
+    last_pos = jnp.where(wr, -1000.0, state.last_known_pos)
     # dead opponent -> cleared; killed this step -> cleared; known -> refresh
     clear = (~opp_alive) | opp_killed
     last_obs = jnp.where(clear[..., None], 0.0, last_obs)

@@ -135,20 +135,17 @@ def init_world(
         damage_dealt=jnp.zeros_like(state.damage_dealt),
         aim_vel_yaw=jnp.zeros((A,), f),
         aim_vel_pitch=jnp.zeros((A,), f),
-        last_known_obs=jnp.zeros((A, T, OTHER_OB_DIM), f),
-        last_known_pos=jnp.full((A, T, 3), -1000.0, f),
-        prev_can_see=jnp.zeros((A, T), bool),
-        prev_teammate_vis=jnp.zeros((A, T), bool),
-        ft_last_known=jnp.zeros_like(state.ft_last_known),
-        crumb_pos=jnp.zeros_like(state.crumb_pos),
-        crumb_penalty=jnp.zeros_like(state.crumb_penalty),
-        crumb_team=jnp.full_like(state.crumb_team, -1),
-        crumb_owner=jnp.full_like(state.crumb_owner, -1),
-        crumb_total_penalty=jnp.zeros((A,), f),
-        crumb_last=jnp.full((A,), -1, i),
-        crumb_steps_since=jnp.zeros((A,), i),
-        explore_bits=jnp.zeros_like(state.explore_bits),
-        new_cells=jnp.zeros((A,), i),
+        # NOT cleared here (big buffers, lazily cleared by their owning
+        # systems via `where(was_reset, init, x)` folded into the full
+        # rewrite they already emit every step — see types.WorldState):
+        #   last_known_obs / last_known_pos  (observations_system)
+        #   ft_last_known                    (full_team_observations_system)
+        #   crumb_*                          (breadcrumb_system)
+        #   explore_bits                     (explore_visited_system)
+        # prev_can_see / prev_teammate_vis / prev_fwd_depth / new_cells are
+        # unconditionally overwritten before any reader sees them
+        # post-reset (observe_tail runs after reset; explore before
+        # rewards), so clearing them here was a dead write.
         spawn_a_used=jnp.full_like(state.spawn_a_used, 0xFFFFFFFF),
         spawn_b_used=jnp.full_like(state.spawn_b_used, 0xFFFFFFFF),
         spawn_respawn_used=jnp.full_like(state.spawn_respawn_used, 0xFFFFFFFF),
@@ -279,6 +276,9 @@ def reset_system(
         episode_idx=jnp.where(should, episode_idx, state.episode_idx),
         episode_counter=episode_counter,
         world_curriculum=world_curr,
+        # the owning systems of the lazily-cleared buffers key on this
+        # next step (and observe_tail keys on it this step)
+        was_reset=should,
     )
 
     fresh = init_world(

@@ -329,9 +329,13 @@ def step_batched(
         state, actions, init_key_data, sim_ctrl, force_reset
     )
 
-    do_reset = jnp.any(force_reset != 0)
+    should_w = force_reset != 0
     if cfg.auto_reset:
-        do_reset = do_reset | jnp.any(state.is_finished)
+        should_w = should_w | state.is_finished
+    # set OUTSIDE the cond: the identity branch must not carry last step's
+    # flag (the lazily-cleared buffers' owners key on it next step)
+    state = state.replace(was_reset=should_w)
+    do_reset = jnp.any(should_w)
 
     def run_reset(state):
         return jax.vmap(

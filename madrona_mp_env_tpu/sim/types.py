@@ -134,6 +134,13 @@ class WorldState:
     # prev-step self->teammate LOS (flankRewardSystem positioning terms,
     # reference src/sim.cpp:4233-4246; written only in Flank reward mode)
     prev_teammate_vis: jax.Array  # [A, max_team_size] bool (own-team slots)
+    # set on the step this world reset. The big append/merge buffers
+    # (explore_bits, crumbs, last-known obs) are NOT rewritten by the reset
+    # select; their owning systems fold `where(was_reset, init, x)` into the
+    # full rewrite they already do every step — so reset cost stays O(small
+    # scalars) instead of O(whole state) per world (initWorld clears these
+    # eagerly in the reference, src/sim.cpp:732-834)
+    was_reset: jax.Array  # [] bool
 
     # --- full-team interface persistent last-known enemy obs ---
     # (FullTeamLastKnownEnemyObservations, types.hpp:1110-1112)
@@ -256,6 +263,7 @@ def init_world_state(cfg: EnvConfig, num_goal_regions: int) -> WorldState:
         ),
         prev_can_see=jnp.zeros((A, T), bool),
         prev_teammate_vis=jnp.zeros((A, T), bool),
+        was_reset=jnp.zeros((), bool),
         ft_last_known=jnp.zeros((2, T, 14 + T), f),
         team_a=jnp.zeros((), i),
         cur_step=jnp.zeros((), i),

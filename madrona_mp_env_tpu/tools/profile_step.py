@@ -190,6 +190,56 @@ def main(argv=None):
         team_size=args.team_size,
         sim_flags=mp.SimFlags.StaggerStarts | mp.SimFlags.RandomFlipTeams,
     )
+
+    if args.train:
+        # fused train-update attribution (mirrors bench.py --train):
+        # rollout env-step kernels vs GAE/minibatch/PPO-epoch compute
+        from madrona_mp_env_tpu.train import (
+            PPOConfig, TrainConfig, TrainingManager,
+        )
+
+        tcfg = TrainConfig(
+            num_worlds=args.worlds,
+            steps_per_update=40,
+            num_bptt_chunks=4,
+            num_train_policies=1,
+            ppo=PPOConfig(num_epochs=2, num_minibatches=4),
+            seed=5,
+        )
+        env = mp.Env(cfg, scene, num_worlds=args.worlds, seed=5)
+        mgr = TrainingManager(cfg, tcfg, env)
+        ts = mgr.init()
+        ts, metrics = mgr.update_iter(ts)
+        jax.block_until_ready(metrics["loss"])
+
+        n_upd = max(args.steps // 10, 2)
+        logdir = tempfile.mkdtemp(prefix="mpenv_trainprof_")
+        with jax.profiler.trace(logdir):
+            t0 = time.perf_counter()
+            for _ in range(n_upd):
+                ts, metrics = mgr.update_iter(ts)
+            jax.block_until_ready(metrics["loss"])
+            dt = time.perf_counter() - t0
+
+        per_upd_ms = dt / n_upd * 1e3
+        fps = args.worlds * tcfg.steps_per_update * n_upd / dt
+        print(f"train.update: {per_upd_ms:.3f} ms/update "
+              f"({fps:,.0f} env-steps/s, {tcfg.steps_per_update} "
+              f"steps/update @ {args.worlds} worlds)")
+        rows, total_ps, intervals = aggregate_trace(logdir, args.top)
+        any_ms = _coverage(intervals, lambda c, b: True) / 1e9 / n_upd
+        compute_ms = _coverage(intervals, lambda c, b: not c) / 1e9 / n_upd
+        kern_ms = _coverage(
+            intervals,
+            lambda c, b: b.startswith("%vmap") or "custom-call" in b,
+        ) / 1e9 / n_upd
+        print(f"device busy: {any_ms:.3f} ms/update | compute-covered: "
+              f"{compute_ms:.3f} | pallas-covered: {kern_ms:.3f} | "
+              f"exposed copy/DMA-only: {any_ms - compute_ms:.3f}")
+        print(f"\n{'top events (full names)':100s} {'ms/update':>9s}")
+        for name, ps in rows.most_common(args.top):
+            print(f"{name[:100]:100s} {ps / 1e9 / n_upd:9.4f}")
+        return
     env = mp.Env(cfg, scene, num_worlds=args.worlds, seed=5)
     state, obs = env.reset()
     W, A = args.worlds, cfg.num_agents
