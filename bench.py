@@ -84,8 +84,11 @@ def bench_train(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--num-worlds", type=int, default=1024)
-    ap.add_argument("--num-steps", type=int, default=100)
+    # 4096 worlds is the measured throughput sweet spot on one v5e chip
+    # (BASELINE.md round-4 table: 177.8k vs 173.8k @ 1024, 167.5k @ 8192 —
+    # batch scaling turned positive once reset clears went lazy)
+    ap.add_argument("--num-worlds", type=int, default=4096)
+    ap.add_argument("--num-steps", type=int, default=50)
     ap.add_argument("--team-size", type=int, default=6)
     ap.add_argument("--scene", type=str, default=None)
     ap.add_argument("--cpu", action="store_true")
