@@ -210,8 +210,17 @@ class TrainingManager:
         self._eval_elo_fn = {}
 
     # -------------------------------------------------- block reshaping
+    def _identity_blocks(self) -> bool:
+        """One train policy and no past ring: every actor belongs to block
+        0 in index order whatever the matchmaking permutation does, so the
+        block split is a pure reshape — skips a gather (to) and a
+        zeros+scatter (from) per leaf per rollout step."""
+        return self.E == 1 and not self.has_past
+
     def to_blocks(self, x, train_perm=None):
         """[W, A, ...] -> train blocks [E, BEt, ...]."""
+        if self._identity_blocks():
+            return x.reshape((1, self.B) + x.shape[2:])
         perm = self.train_perm0 if train_perm is None else train_perm
         flat = x.reshape((self.B,) + x.shape[2:])
         return flat[perm]
@@ -224,9 +233,11 @@ class TrainingManager:
     def from_blocks(self, train_b, past_b=None, train_perm=None,
                     past_perm=None):
         """Scatter train (+ past) blocks back to [W, A, ...]."""
+        tail = train_b.shape[2:]
+        if self._identity_blocks():
+            return train_b.reshape((self.W, self.A) + tail)
         tperm = self.train_perm0 if train_perm is None else train_perm
         pperm = self.past_perm0 if past_perm is None else past_perm
-        tail = train_b.shape[2:]
         flat = jnp.zeros((self.B,) + tail, train_b.dtype)
         flat = flat.at[tperm].set(train_b)
         if past_b is not None and self.has_past:
@@ -521,26 +532,89 @@ class TrainingManager:
         obs_flat, obs_spec = unitize_tree(outs["obs"])
         act_flat, act_spec = unitize_tree(outs["actions"])
         lp_flat, lp_spec = unitize_tree(outs["log_probs"])
-        data = {
-            "obs": obs_flat,
-            "actions": act_flat,
-            "log_probs": lp_flat,
-            "values": unitize_flat(outs["values"]),
-            "dones": unitize_flat(outs["dones"]),
-            "adv": unitize_flat(adv),
-            "ret": unitize_flat(ret),
-        }
         scalar_tail = (L,)
         # rnn_starts: [K, 2, 2, E, BE, H] -> [E, K*BE, 2*2*H] flat
         rs = jnp.moveaxis(rnn_starts, 3, 0)  # [E, K, 2, 2, BE, H]
         rs = jnp.moveaxis(rs, 4, 2)  # [E, K, BE, 2, 2, H]
         rnn_units = rs.reshape(E, K * BE, -1)
 
+        # pack every unitized leaf into ONE [E, U, cols] buffer per dtype:
+        # the epoch-shuffle gather then moves a few wide contiguous rows
+        # instead of 17 narrow ones. (A narrow [U, L] f32 row gather lowers
+        # to a serial per-row sweep — measured ~11 ms PER LEAF per
+        # minibatch on v5e; the packed rows are KB-wide and run at HBM
+        # bandwidth.)
+        obs_leaves, obs_tdef = jax.tree_util.tree_flatten(obs_flat)
+        act_leaves, act_tdef = jax.tree_util.tree_flatten(act_flat)
+        lp_leaves, lp_tdef = jax.tree_util.tree_flatten(lp_flat)
+        scalar_leaves = [
+            unitize_flat(outs["values"]),
+            unitize_flat(outs["dones"]),
+            unitize_flat(adv),
+            unitize_flat(ret),
+        ]
+        all_leaves = (
+            obs_leaves + act_leaves + lp_leaves + scalar_leaves
+            + [rnn_units]
+        )
+        pack_lists: dict = {}
+        slots = []  # per leaf: (dtype key, col_start, col_end)
+        for leaf in all_leaves:
+            dk = str(leaf.dtype)
+            lst = pack_lists.setdefault(dk, [])
+            start = sum(x.shape[2] for x in lst)
+            lst.append(leaf)
+            slots.append((dk, start, start + leaf.shape[2]))
+        packs = {
+            dk: jnp.concatenate(lst, axis=2) if len(lst) > 1 else lst[0]
+            for dk, lst in pack_lists.items()
+        }
+
+        def gather_batch(idx):
+            """idx [E, mb] -> the minibatch dict (one gather per dtype)."""
+            g = {
+                dk: jax.vmap(lambda d, i: d[i])(p, idx)
+                for dk, p in packs.items()
+            }
+            parts = [g[dk][:, :, s:e] for dk, s, e in slots]
+            i0 = 0
+            n_o, n_a, n_l = len(obs_leaves), len(act_leaves), len(lp_leaves)
+            obs_l = parts[i0:i0 + n_o]; i0 += n_o
+            act_l = parts[i0:i0 + n_a]; i0 += n_a
+            lp_l = parts[i0:i0 + n_l]; i0 += n_l
+            vals, dones_u, adv_u, ret_u = parts[i0:i0 + 4]; i0 += 4
+            rnn_u = parts[i0]
+
+            def unscalar(x):
+                return x.reshape(x.shape[:2] + scalar_tail)
+
+            return {
+                "obs": restore_tree(
+                    jax.tree_util.tree_unflatten(obs_tdef, obs_l), obs_spec
+                ),
+                "actions": restore_tree(
+                    jax.tree_util.tree_unflatten(act_tdef, act_l), act_spec
+                ),
+                "log_probs": restore_tree(
+                    jax.tree_util.tree_unflatten(lp_tdef, lp_l), lp_spec
+                ),
+                "values": unscalar(vals),
+                "dones": unscalar(dones_u),
+                "adv": unscalar(adv_u),
+                "ret": unscalar(ret_u),
+                "rnn": rnn_u.reshape(
+                    (E, rnn_u.shape[1], 2, 2, policy_mod.RNN_HIDDEN)
+                ),
+            }
+
         num_units = K * BE
         assert num_units % pcfg.num_minibatches == 0
         mb = num_units // pcfg.num_minibatches
 
         def loss_fn(params, batch):
+            # (NOTE: pre-casting the param tree to bf16 here was measured
+            # SLOWER on v5e — +53 ms/update — the backward's per-param
+            # convert-grads cost more than flax's per-layer promotes save.)
             obs_seq = jax.tree_util.tree_map(
                 lambda x: jnp.swapaxes(x, 0, 1), batch["obs"]
             )  # [L, mb, ...]
@@ -585,34 +659,7 @@ class TrainingManager:
                 idx = jax.lax.dynamic_slice_in_dim(
                     order, mb_idx * mb, mb, axis=1
                 )  # [E, mb]
-
-                def gather_e(x):
-                    return jax.vmap(lambda d, i: d[i])(x, idx)
-
-                def unscalar(x):
-                    return x.reshape(x.shape[:2] + scalar_tail)
-
-                batch = {
-                    "obs": restore_tree(
-                        jax.tree_util.tree_map(gather_e, data["obs"]),
-                        obs_spec,
-                    ),
-                    "actions": restore_tree(
-                        jax.tree_util.tree_map(gather_e, data["actions"]),
-                        act_spec,
-                    ),
-                    "log_probs": restore_tree(
-                        jax.tree_util.tree_map(gather_e, data["log_probs"]),
-                        lp_spec,
-                    ),
-                    "values": unscalar(gather_e(data["values"])),
-                    "dones": unscalar(gather_e(data["dones"])),
-                    "adv": unscalar(gather_e(data["adv"])),
-                    "ret": unscalar(gather_e(data["ret"])),
-                    "rnn": gather_e(rnn_units).reshape(
-                        (E, mb, 2, 2, policy_mod.RNN_HIDDEN)
-                    ),
-                }
+                batch = gather_batch(idx)
 
                 def update_one(p, os, b, lr):
                     grads, metrics = grad_fn(p, b)
