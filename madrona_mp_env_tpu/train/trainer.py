@@ -529,75 +529,88 @@ class TrainingManager:
                 [x.reshape(x.shape[:2] + t) for x, t in zip(leaves, tails)],
             )
 
-        obs_flat, obs_spec = unitize_tree(outs["obs"])
-        act_flat, act_spec = unitize_tree(outs["actions"])
-        lp_flat, lp_spec = unitize_tree(outs["log_probs"])
-        scalar_tail = (L,)
         # rnn_starts: [K, 2, 2, E, BE, H] -> [E, K*BE, 2*2*H] flat
         rs = jnp.moveaxis(rnn_starts, 3, 0)  # [E, K, 2, 2, BE, H]
         rs = jnp.moveaxis(rs, 4, 2)  # [E, K, BE, 2, 2, H]
         rnn_units = rs.reshape(E, K * BE, -1)
 
-        # pack every unitized leaf into ONE [E, U, cols] buffer per dtype:
-        # the epoch-shuffle gather then moves a few wide contiguous rows
-        # instead of 17 narrow ones. (A narrow [U, L] f32 row gather lowers
-        # to a serial per-row sweep — measured ~11 ms PER LEAF per
-        # minibatch on v5e; the packed rows are KB-wide and run at HBM
-        # bandwidth.)
-        obs_leaves, obs_tdef = jax.tree_util.tree_flatten(obs_flat)
-        act_leaves, act_tdef = jax.tree_util.tree_flatten(act_flat)
-        lp_leaves, lp_tdef = jax.tree_util.tree_flatten(lp_flat)
+        # pack every unitized leaf into ONE [E, U, L, feats] buffer per
+        # dtype: the epoch-shuffle gather then moves a few KB-wide
+        # contiguous rows at HBM bandwidth instead of 17 narrow ones (a
+        # narrow [U, L] f32 row gather lowers to a serial per-row sweep —
+        # measured ~11 ms PER LEAF per minibatch on v5e). The explicit L
+        # axis lets ONE transpose per dtype produce the [L, mb] time-major
+        # sequences the BPTT loss consumes (the per-leaf swapaxes it
+        # replaced were ~17 more relayouts per minibatch).
+        def unitize4(x):
+            # [K, L, E, BE, ...] -> [E, K*BE, L, prod(tail)]
+            x = jnp.moveaxis(x, 2, 0)  # [E, K, L, BE, ...]
+            x = jnp.swapaxes(x, 2, 3)  # [E, K, BE, L, ...]
+            return x.reshape((E, K * BE, L, -1))
+
+        def step_tail(x):
+            return x.shape[4:]  # per-step feature tail
+
+        def named_leaves(tree):
+            leaves, tdef = jax.tree_util.tree_flatten(tree)
+            return [unitize4(l) for l in leaves], tdef, \
+                [step_tail(l) for l in leaves]
+
+        obs_leaves, obs_tdef, obs_tails = named_leaves(outs["obs"])
+        act_leaves, act_tdef, act_tails = named_leaves(outs["actions"])
+        lp_leaves, lp_tdef, lp_tails = named_leaves(outs["log_probs"])
         scalar_leaves = [
-            unitize_flat(outs["values"]),
-            unitize_flat(outs["dones"]),
-            unitize_flat(adv),
-            unitize_flat(ret),
+            unitize4(outs["values"]),
+            unitize4(outs["dones"]),
+            unitize4(adv),
+            unitize4(ret),
         ]
-        all_leaves = (
-            obs_leaves + act_leaves + lp_leaves + scalar_leaves
-            + [rnn_units]
-        )
+        all_leaves = obs_leaves + act_leaves + lp_leaves + scalar_leaves
         pack_lists: dict = {}
         slots = []  # per leaf: (dtype key, col_start, col_end)
         for leaf in all_leaves:
             dk = str(leaf.dtype)
             lst = pack_lists.setdefault(dk, [])
-            start = sum(x.shape[2] for x in lst)
+            start = sum(x.shape[3] for x in lst)
             lst.append(leaf)
-            slots.append((dk, start, start + leaf.shape[2]))
+            slots.append((dk, start, start + leaf.shape[3]))
         packs = {
-            dk: jnp.concatenate(lst, axis=2) if len(lst) > 1 else lst[0]
+            dk: jnp.concatenate(lst, axis=3) if len(lst) > 1 else lst[0]
             for dk, lst in pack_lists.items()
         }
 
         def gather_batch(idx):
-            """idx [E, mb] -> the minibatch dict (one gather per dtype)."""
+            """idx [E, mb] -> minibatch dict with TIME-MAJOR [E, L, mb,
+            ...] sequence leaves (one gather + one transpose per dtype)."""
             g = {
-                dk: jax.vmap(lambda d, i: d[i])(p, idx)
+                dk: jnp.swapaxes(
+                    jax.vmap(lambda d, i: d[i])(p, idx), 1, 2
+                )  # [E, L, mb, F_dt]
                 for dk, p in packs.items()
             }
-            parts = [g[dk][:, :, s:e] for dk, s, e in slots]
+            parts = [g[dk][..., s:e] for dk, s, e in slots]
             i0 = 0
             n_o, n_a, n_l = len(obs_leaves), len(act_leaves), len(lp_leaves)
+
+            def retree(ls, tdef, tails):
+                return jax.tree_util.tree_unflatten(
+                    tdef,
+                    [x.reshape(x.shape[:3] + t) for x, t in zip(ls, tails)],
+                )
+
             obs_l = parts[i0:i0 + n_o]; i0 += n_o
             act_l = parts[i0:i0 + n_a]; i0 += n_a
             lp_l = parts[i0:i0 + n_l]; i0 += n_l
             vals, dones_u, adv_u, ret_u = parts[i0:i0 + 4]; i0 += 4
-            rnn_u = parts[i0]
 
-            def unscalar(x):
-                return x.reshape(x.shape[:2] + scalar_tail)
+            def unscalar(x):  # [E, L, mb, 1] -> [E, L, mb]
+                return x.reshape(x.shape[:3])
 
+            rnn_u = jax.vmap(lambda d, i: d[i])(rnn_units, idx)
             return {
-                "obs": restore_tree(
-                    jax.tree_util.tree_unflatten(obs_tdef, obs_l), obs_spec
-                ),
-                "actions": restore_tree(
-                    jax.tree_util.tree_unflatten(act_tdef, act_l), act_spec
-                ),
-                "log_probs": restore_tree(
-                    jax.tree_util.tree_unflatten(lp_tdef, lp_l), lp_spec
-                ),
+                "obs": retree(obs_l, obs_tdef, obs_tails),
+                "actions": retree(act_l, act_tdef, act_tails),
+                "log_probs": retree(lp_l, lp_tdef, lp_tails),
                 "values": unscalar(vals),
                 "dones": unscalar(dones_u),
                 "adv": unscalar(adv_u),
@@ -612,37 +625,29 @@ class TrainingManager:
         mb = num_units // pcfg.num_minibatches
 
         def loss_fn(params, batch):
+            # batch sequence leaves arrive TIME-MAJOR [L, mb, ...] straight
+            # from gather_batch — no per-leaf swapaxes here.
             # (NOTE: pre-casting the param tree to bf16 here was measured
             # SLOWER on v5e — +53 ms/update — the backward's per-param
             # convert-grads cost more than flax's per-layer promotes save.)
-            obs_seq = jax.tree_util.tree_map(
-                lambda x: jnp.swapaxes(x, 0, 1), batch["obs"]
-            )  # [L, mb, ...]
-            actions = jax.tree_util.tree_map(
-                lambda x: jnp.swapaxes(x, 0, 1), batch["actions"]
-            )
-            dones_seq = jnp.swapaxes(batch["dones"], 0, 1)
             rnn_start = jnp.moveaxis(batch["rnn"], 0, 2)  # [2, 2, mb, H]
 
             new_lp, ent, new_v = self.model.apply(
                 {"params": params},
                 rnn_start,
-                dones_seq,
-                obs_seq,
-                actions,
+                batch["dones"],
+                batch["obs"],
+                batch["actions"],
                 method=ActorCriticNet.sequence,
-            )
-            old_lp = jax.tree_util.tree_map(
-                lambda x: jnp.swapaxes(x, 0, 1), batch["log_probs"]
             )
             return ppo_loss(
                 new_lp,
                 ent,
                 new_v,
-                old_lp,
-                jnp.swapaxes(batch["values"], 0, 1),
-                jnp.swapaxes(batch["adv"], 0, 1),
-                jnp.swapaxes(batch["ret"], 0, 1),
+                batch["log_probs"],
+                batch["values"],
+                batch["adv"],
+                batch["ret"],
                 pcfg,
             )
 
