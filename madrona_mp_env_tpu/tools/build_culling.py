@@ -30,6 +30,13 @@ def main():
 
     import os
 
+    # honor JAX_PLATFORMS=cpu even when a site plugin force-registers a
+    # TPU backend (this is a host-side offline build — never needs a chip)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from ..assets import formats
     from ..ops import culling
 

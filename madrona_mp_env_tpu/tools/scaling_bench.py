@@ -112,6 +112,11 @@ def bench_point(n_devices: int, args) -> dict:
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS=cpu even when a site plugin force-registers a
+    # TPU backend (the env var alone loses to the plugin; the config
+    # update after import wins)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--worlds-per-device", type=int, default=512)
     ap.add_argument("--num-steps", type=int, default=50)
