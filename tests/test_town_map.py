@@ -65,7 +65,7 @@ def town_cached_dir():
     import os
     d = os.path.join(os.path.dirname(__file__), "..", "data", "town_map")
     d = os.path.abspath(d)
-    if not any(f.startswith("culling_ray") for f in os.listdir(d)):
+    if not os.path.exists(os.path.join(d, "culling.npz")):
         pytest.skip("town culling cache not built")
     return d
 
@@ -91,8 +91,9 @@ def test_town_big_map_path_selected(town_cached_dir):
 
 
 @pytest.mark.slow
-def test_town_culled_fan_parity(town_cached_dir):
+def test_town_culled_fan_parity(town_cached_dir, monkeypatch):
     """Cell-culled fan vs dense sweep on the real town geometry."""
+    monkeypatch.setenv("MPENV_PALLAS", "interpret")
     import jax.numpy as jnp
 
     import madrona_mp_env_tpu as mp
