@@ -112,6 +112,27 @@ def _team_spread_bonus(cfg: EnvConfig, m: MapData, state: WorldState, teams):
     return poly2x / (2.0 * bounds_area) * 1e-2
 
 
+def flank_fresh_los(cfg: EnvConfig) -> bool:
+    return cfg.task == Task.Zone and cfg.reward_mode == RewardMode.Flank
+
+
+def refresh_flank_los(cfg: EnvConfig, m: MapData, state: WorldState):
+    """flankRewardSystem raycasts LOS with CURRENT (post-movement)
+    positions inside the reward system (reference src/sim.cpp:4228-4267).
+    Recompute this step's visibility table here and write it into the
+    prev_* slots the Flank reward branch reads, so the reward is same-step
+    fresh. The observation tail recomputes and overwrites these fields
+    after the reset as before, so the scripted bot and next step's
+    observations keep their existing semantics."""
+    from . import observations
+
+    vis, _ = observations.visibility_system(cfg, m, state)
+    ts = cfg.team_size
+    return state.replace(
+        prev_can_see=vis[:, :ts], prev_teammate_vis=vis[:, ts:]
+    )
+
+
 def reward_system(cfg: EnvConfig, m: MapData, state: WorldState) -> WorldState:
     A = cfg.num_agents
     teams = jnp.arange(A, dtype=jnp.int32) // cfg.team_size
@@ -156,10 +177,15 @@ def reward_system(cfg: EnvConfig, m: MapData, state: WorldState) -> WorldState:
         r = r + jnp.where(state.is_finished, terminal, 0.0)
     elif cfg.task == Task.Zone and cfg.reward_mode == RewardMode.Flank:
         # flankRewardSystem (sim.cpp:4211-4290). The reference raycasts LOS
-        # inside the reward system with current positions; here the LOS
-        # terms come from the previous step's fused sensor fan
-        # (prev_teammate_vis / prev_can_see, one step stale) while the
-        # distance term uses current positions like the reference.
+        # inside the reward system with current positions; step_world_core
+        # calls refresh_flank_los right before this system so the
+        # prev_teammate_vis / prev_can_see slots hold THIS step's
+        # post-movement visibility (same-step fresh, closing the round-4
+        # staleness deviation). Documented remaining deviation: the
+        # opponent-positioning term uses each opponent's own frustum for
+        # its view of the agent, where the reference passes the agent's
+        # aim to isAgentVisible from the opponent's position
+        # (sim.cpp:4250-4261) — an apparent argument-reuse quirk.
         ts = cfg.team_size
         r = jnp.zeros((A,))
         new_min = state.min_dist_to_zone

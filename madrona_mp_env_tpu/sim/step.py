@@ -168,7 +168,11 @@ def step_world_core(
         state = explore.goal_regions_system(cfg, m, state)
         state = explore.explore_visited_system(cfg, state)
 
-        # 13. rewards (+ team + final)
+        # 13. rewards (+ team + final). Flank mode refreshes the LOS table
+        # with current positions first — the reference raycasts inside the
+        # reward system itself (src/sim.cpp:4228-4267)
+        if rewards.flank_fresh_los(cfg):
+            state = rewards.refresh_flank_los(cfg, m, state)
         state = rewards.reward_system(cfg, m, state)
 
     # 14. done

@@ -89,6 +89,17 @@ def _rollout():
 
 
 def generate(path: str = DEFAULT_PATH) -> None:
+    # HARD guard (round-3 lesson, VERDICT r4 item 10): the committed golden
+    # is the CPU-reference trajectory; a TPU-generated fixture silently
+    # launders kernel divergence into the contract. Refuse outright.
+    import jax
+
+    backend = jax.default_backend()
+    if backend != "cpu":
+        raise RuntimeError(
+            f"golden regeneration requires the CPU backend, got {backend!r};"
+            " run with --generate (which pins CPU) or JAX_PLATFORMS=cpu"
+        )
     hist = _rollout()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **hist)

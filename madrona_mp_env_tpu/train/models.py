@@ -77,17 +77,60 @@ class EmbedBlock(nn.Module):
         return nn.leaky_relu(x)
 
 
-class LSTMCellState(nn.Module):
-    pass
+class LSTMCellParams(nn.Module):
+    """Parameter container producing the exact param tree of flax's
+    nn.OptimizedLSTMCell (kernels ``ii/if/ig/io``, kernels+biases
+    ``hi/hf/hg/ho``) so checkpoints saved against the old cell load
+    unchanged. Returns the gate matrices pre-concatenated in (i, f, g, o)
+    column order; the recurrence itself lives in PolicyLSTM, which needs
+    the split x-projection / h-recurrence form for the fused BPTT path."""
+
+    @nn.compact
+    def __call__(self, x, h):
+        from flax.linen.recurrent import DenseParams
+
+        H = h.shape[-1]
+        k_i, k_h, b_h = [], [], []
+        for comp in ("i", "f", "g", "o"):
+            ki, _ = DenseParams(
+                features=H, use_bias=False, name=f"i{comp}"
+            )(x)
+            kh, bh = DenseParams(
+                features=H,
+                use_bias=True,
+                kernel_init=jax.nn.initializers.orthogonal(),
+                name=f"h{comp}",
+            )(h)
+            k_i.append(ki)
+            k_h.append(kh)
+            b_h.append(bh)
+        return (
+            jnp.concatenate(k_i, axis=-1),  # [C, 4H]
+            jnp.concatenate(k_h, axis=-1),  # [H, 4H]
+            jnp.concatenate(b_h, axis=-1),  # [4H]
+        )
 
 
 class PolicyLSTM(nn.Module):
     """Single-layer LSTM(512) + LayerNorm on the output (PolicyRNN,
     scripts/jax_policy.py:85-128). Hidden state is (c, h) stacked on a
-    leading axis so it lives in rollout state as one array [2, B, H]."""
+    leading axis so it lives in rollout state as one array [2, B, H].
+
+    The recurrence is computed explicitly (same math and fp op order as
+    flax's OptimizedLSTMCell: y = h@Wh + b + x@Wi split into i/f/g/o) so
+    the BPTT ``sequence`` path can hoist the x-projection of ALL timesteps
+    into ONE [T*B, C] x [C, 4H] MXU matmul and keep only the lean
+    h-recurrence per step — the unrolled per-step cell was measured ~8x
+    off the matmul floor on v5e (BASELINE.md round-4 trainer notes)."""
 
     hidden_dim: int
     dtype: jnp.dtype
+
+    def setup(self):
+        # submodule names match what nn.compact auto-named in the original
+        # OptimizedLSTMCell/LayerNorm implementation (checkpoint compat)
+        self.cell = LSTMCellParams(name="OptimizedLSTMCell_0")
+        self.out_ln = LayerNorm(dtype=self.dtype, name="LayerNorm_0")
 
     def init_state(self, batch_shape) -> jax.Array:
         return jnp.zeros((2, *batch_shape, self.hidden_dim), jnp.float32)
@@ -98,16 +141,25 @@ class PolicyLSTM(nn.Module):
         mask = should_clear[None, ..., None]
         return jnp.where(mask, 0.0, rnn_state)
 
-    @nn.compact
+    def _gates(self, y, c):
+        """y: pre-activation [B, 4H] in (i, f, g, o) column order."""
+        i, f, g, o = jnp.split(y, 4, axis=-1)
+        new_c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+        new_h = nn.sigmoid(o) * jnp.tanh(new_c)
+        return new_c, new_h
+
     def __call__(self, rnn_state, x, train=False):
-        cell = nn.OptimizedLSTMCell(
-            self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32
-        )
-        carry = (rnn_state[0].astype(self.dtype), rnn_state[1].astype(self.dtype))
-        new_carry, out = cell(carry, x)
-        out = LayerNorm(dtype=self.dtype)(out)
+        wi, wh, b = self.cell(x, rnn_state[1])
+        dt = self.dtype
+        c = rnn_state[0].astype(dt)
+        h = rnn_state[1].astype(dt)
+        x = x.astype(dt)
+        wi, wh, b = wi.astype(dt), wh.astype(dt), b.astype(dt)
+        y = (jnp.dot(h, wh) + b) + jnp.dot(x, wi)
+        new_c, new_h = self._gates(y, c)
+        out = self.out_ln(new_h)
         new_state = jnp.stack(
-            [new_carry[0].astype(jnp.float32), new_carry[1].astype(jnp.float32)]
+            [new_c.astype(jnp.float32), new_h.astype(jnp.float32)]
         )
         return out, new_state
 
@@ -115,28 +167,26 @@ class PolicyLSTM(nn.Module):
         """Run over a [T, B, C] sequence for BPTT, zeroing the hidden state
         after steps where done=1 (dones: [T, B]); returns outputs [T, B, H].
 
-        The scan re-uses __call__ so parameters are shared with the
-        single-step path.
-        """
-
-        def body(mdl, carry, inp):
-            x_t, done_t = inp
-            out, carry = mdl(carry, x_t, train)
-            carry = PolicyLSTM.clear_state(carry, done_t != 0)
-            return carry, out
-
-        scan = nn.scan(
-            body,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
-            # BPTT chunks are short (10): unrolling removes the while-loop
-            # iteration + output-stacking overhead per step
-            unroll=True,
-        )
-        _, outs = scan(self, rnn_start_state, (xs, dones))
-        return outs
+        The x-projection for all T steps is one matmul; the unrolled loop
+        per step is a single [B, H] x [H, 4H] matmul plus gate elementwise
+        ops, and the output LayerNorm runs batched over [T, B, H]."""
+        T = xs.shape[0]
+        wi, wh, b = self.cell(xs, rnn_start_state[1])
+        dt = self.dtype
+        xs = xs.astype(dt)
+        wi, wh, b = wi.astype(dt), wh.astype(dt), b.astype(dt)
+        xp = jnp.dot(xs, wi)  # [T, B, 4H] — ONE MXU matmul over T*B rows
+        c = rnn_start_state[0].astype(dt)
+        h = rnn_start_state[1].astype(dt)
+        outs = []
+        for t in range(T):  # BPTT chunks are short (~10): static unroll
+            y = (jnp.dot(h, wh) + b) + xp[t]
+            c, h = self._gates(y, c)
+            outs.append(h)
+            ended = (dones[t] != 0)[..., None]
+            c = jnp.where(ended, 0.0, c)
+            h = jnp.where(ended, 0.0, h)
+        return self.out_ln(jnp.stack(outs))
 
 
 class DenseLayerDiscreteActor(nn.Module):

@@ -29,8 +29,6 @@ from .. import consts
 from ..config import EnvConfig
 from ..sim.env import Env
 from ..sim.types import Actions, WorldState
-from . import policy as policy_mod
-from .distributions import ActorDistributions
 from .normalizer import (
     EMANormalizerState,
     init_normalizer,
@@ -255,6 +253,37 @@ class TrainingManager:
             out[k] = v.reshape(v.shape[:-3] + (-1,))
         return out
 
+    # ---------------------------------------------- packed rollout buffers
+    # The rollout stores each step's (normalized) policy obs as ONE packed
+    # [E, BE, F] array instead of 13 dict leaves: the whole T-step rollout
+    # then lives in a single scan-stacked buffer that PPO minibatches gather
+    # from directly — no per-leaf relayout pass and no second copy of the
+    # rollout data (the round-4 unitize+concat pipeline held 2x the obs
+    # data and OOMed at 4096 worlds; VERDICT r4 item 1).
+    def _pack_obs(self, obs):
+        """dict of [E, BE, *tail] -> ([E, BE, F], slots). slots is static."""
+        parts = []
+        slots = []
+        start = 0
+        for k in POLICY_OBS_KEYS:
+            v = obs[k]
+            tail = v.shape[2:]
+            f = int(np.prod(tail)) if tail else 1
+            parts.append(v.reshape(v.shape[:2] + (f,)))
+            slots.append((k, start, start + f, tail))
+            start += f
+        return jnp.concatenate(parts, axis=-1), slots
+
+    @staticmethod
+    def _unpack_obs(packed, slots):
+        """[..., F] -> dict of [..., *tail] column views (fused into
+        consumers by XLA; no materialized copies)."""
+        out = {}
+        for k, s, e, tail in slots:
+            v = packed[..., s:e]
+            out[k] = v.reshape(v.shape[:-1] + tail)
+        return out
+
     # -------------------------------------------------- init
     def init(self, seed: Optional[int] = None) -> TrainState:
         seed = self.tcfg.seed if seed is None else seed
@@ -405,9 +434,13 @@ class TrainingManager:
             next_obs = self._policy_obs(out["obs"])
             norm = update_normalizer(norm, obs_blocks)
 
+            obs_pack, slots = self._pack_obs(norm_obs)
+            self._obs_slots = slots  # static, identical every trace
             outputs = {
-                "obs": norm_obs,
-                "actions": actions,
+                "obs_pack": obs_pack,  # [E, BE, F] compute dtype
+                "act_pack": jnp.concatenate(
+                    [actions["discrete"], actions["aim"]], axis=-1
+                ),  # [E, BE, 6] i32
                 "log_probs": log_probs,
                 "values": values,
                 "rewards": reward_b,
@@ -418,7 +451,10 @@ class TrainingManager:
             return (env_state, next_obs, rnn2, past_rnn2, norm), outputs
 
         def chunk_body(carry, xs):
-            rnn_start = carry[2]
+            # BPTT restart states are stored in the compute dtype: the loss
+            # casts them there anyway, and f32 starts at 8192 worlds are
+            # 3.2 GB of HBM for no numeric effect (bf16(f32(bf16 x)) == x)
+            rnn_start = carry[2].astype(tcfg.compute_dtype)
             carry, outs = jax.lax.scan(step_body, carry, xs)
             return carry, (rnn_start, outs)
 
@@ -497,127 +533,59 @@ class TrainingManager:
             tcfg.gamma,
             tcfg.gae_lambda,
         )
-        adv = adv.reshape(K * L, E, BE).reshape(K, L, E, BE)
-        ret = ret.reshape(K * L, E, BE).reshape(K, L, E, BE)
+        adv = adv.reshape(K, L, E, BE)
+        ret = ret.reshape(K, L, E, BE)
 
-        # reorganize data as sample units: per policy, (K * BE) sequences
-        # of length L — stored FLAT per unit ([E, K*BE, L*feat]) so the
-        # epoch shuffle gathers contiguous rows. With structured tails XLA
-        # picks a units-minor layout for these buffers and the minibatch
-        # gather degrades to a strided ~0.5 GB/s sweep (~0.7 s/update).
-        def unitize_flat(x):
-            # [K, L, E, BE, ...] -> [E, K*BE, L*prod(tail)]
-            x = jnp.moveaxis(x, 2, 0)  # [E, K, L, BE, ...]
-            x = jnp.swapaxes(x, 2, 3)  # [E, K, BE, L, ...]
-            return x.reshape((E, K * BE, -1))
+        # Minibatch units are (chunk k, actor b) length-L sequences. They
+        # are gathered DIRECTLY from the time-major scan-stacked rollout
+        # buffers — the round-4 unit-major relayout (moveaxis+swapaxes+
+        # concat per leaf) held a second full copy of the rollout in HBM
+        # (OOM at 4096 worlds) and cost a full extra HBM round trip. With
+        # the obs packed into one [K, L, E, BE, F] buffer, each unit's
+        # gather row is F wide (~2 KB), so the gather runs at HBM bandwidth
+        # (the round-4 pathology was 40-BYTE rows: 17 narrow per-leaf
+        # gathers lowering to serial row sweeps).
+        obs_buf = outs["obs_pack"]  # [K, L, E, BE, F] compute dtype
+        act_buf = outs["act_pack"]  # [K, L, E, BE, 6] i32
+        # f32 per-step scalars packed once: values, dones, adv, ret,
+        # log_probs (discrete, aim) -> [K, L, E, BE, 6]
+        scal_buf = jnp.stack(
+            [
+                outs["values"],
+                outs["dones"].astype(jnp.float32),
+                adv,
+                ret,
+                outs["log_probs"]["discrete"],
+                outs["log_probs"]["aim"],
+            ],
+            axis=-1,
+        )
+        rnn_buf = rnn_starts  # [K, 2, 2, E, BE, H] compute dtype
 
-        def unit_tail(x):
-            return (L,) + x.shape[4:]
-
-        def unitize_tree(tree):
-            leaves, tdef = jax.tree_util.tree_flatten(tree)
-            flat = jax.tree_util.tree_unflatten(
-                tdef, [unitize_flat(l) for l in leaves]
-            )
-            return flat, (tdef, [unit_tail(l) for l in leaves])
-
-        def restore_tree(flat_tree, spec):
-            tdef, tails = spec
-            leaves = jax.tree_util.tree_flatten(flat_tree)[0]
-            return jax.tree_util.tree_unflatten(
-                tdef,
-                [x.reshape(x.shape[:2] + t) for x, t in zip(leaves, tails)],
-            )
-
-        # rnn_starts: [K, 2, 2, E, BE, H] -> [E, K*BE, 2*2*H] flat
-        rs = jnp.moveaxis(rnn_starts, 3, 0)  # [E, K, 2, 2, BE, H]
-        rs = jnp.moveaxis(rs, 4, 2)  # [E, K, BE, 2, 2, H]
-        rnn_units = rs.reshape(E, K * BE, -1)
-
-        # pack every unitized leaf into ONE [E, U, L, feats] buffer per
-        # dtype: the epoch-shuffle gather then moves a few KB-wide
-        # contiguous rows at HBM bandwidth instead of 17 narrow ones (a
-        # narrow [U, L] f32 row gather lowers to a serial per-row sweep —
-        # measured ~11 ms PER LEAF per minibatch on v5e). The explicit L
-        # axis lets ONE transpose per dtype produce the [L, mb] time-major
-        # sequences the BPTT loss consumes (the per-leaf swapaxes it
-        # replaced were ~17 more relayouts per minibatch).
-        def unitize4(x):
-            # [K, L, E, BE, ...] -> [E, K*BE, L, prod(tail)]
-            x = jnp.moveaxis(x, 2, 0)  # [E, K, L, BE, ...]
-            x = jnp.swapaxes(x, 2, 3)  # [E, K, BE, L, ...]
-            return x.reshape((E, K * BE, L, -1))
-
-        def step_tail(x):
-            return x.shape[4:]  # per-step feature tail
-
-        def named_leaves(tree):
-            leaves, tdef = jax.tree_util.tree_flatten(tree)
-            return [unitize4(l) for l in leaves], tdef, \
-                [step_tail(l) for l in leaves]
-
-        obs_leaves, obs_tdef, obs_tails = named_leaves(outs["obs"])
-        act_leaves, act_tdef, act_tails = named_leaves(outs["actions"])
-        lp_leaves, lp_tdef, lp_tails = named_leaves(outs["log_probs"])
-        scalar_leaves = [
-            unitize4(outs["values"]),
-            unitize4(outs["dones"]),
-            unitize4(adv),
-            unitize4(ret),
-        ]
-        all_leaves = obs_leaves + act_leaves + lp_leaves + scalar_leaves
-        pack_lists: dict = {}
-        slots = []  # per leaf: (dtype key, col_start, col_end)
-        for leaf in all_leaves:
-            dk = str(leaf.dtype)
-            lst = pack_lists.setdefault(dk, [])
-            start = sum(x.shape[3] for x in lst)
-            lst.append(leaf)
-            slots.append((dk, start, start + leaf.shape[3]))
-        packs = {
-            dk: jnp.concatenate(lst, axis=3) if len(lst) > 1 else lst[0]
-            for dk, lst in pack_lists.items()
-        }
+        obs_slots = self._obs_slots
 
         def gather_batch(idx):
-            """idx [E, mb] -> minibatch dict with TIME-MAJOR [E, L, mb,
-            ...] sequence leaves (one gather + one transpose per dtype)."""
-            g = {
-                dk: jnp.swapaxes(
-                    jax.vmap(lambda d, i: d[i])(p, idx), 1, 2
-                )  # [E, L, mb, F_dt]
-                for dk, p in packs.items()
-            }
-            parts = [g[dk][..., s:e] for dk, s, e in slots]
-            i0 = 0
-            n_o, n_a, n_l = len(obs_leaves), len(act_leaves), len(lp_leaves)
-
-            def retree(ls, tdef, tails):
-                return jax.tree_util.tree_unflatten(
-                    tdef,
-                    [x.reshape(x.shape[:3] + t) for x, t in zip(ls, tails)],
-                )
-
-            obs_l = parts[i0:i0 + n_o]; i0 += n_o
-            act_l = parts[i0:i0 + n_a]; i0 += n_a
-            lp_l = parts[i0:i0 + n_l]; i0 += n_l
-            vals, dones_u, adv_u, ret_u = parts[i0:i0 + 4]; i0 += 4
-
-            def unscalar(x):  # [E, L, mb, 1] -> [E, L, mb]
-                return x.reshape(x.shape[:3])
-
-            rnn_u = jax.vmap(lambda d, i: d[i])(rnn_units, idx)
+            """idx [E, mb] of unit ids (k * BE + b) -> minibatch dict with
+            TIME-MAJOR [E, L, mb, ...] leaves, gathered in 4 fused gathers
+            (obs/actions/scalars/rnn) straight from the rollout buffers."""
+            k = idx // BE  # [E, mb]
+            b = idx % BE
+            kk = k[:, None, :]  # [E, 1, mb]
+            bb = b[:, None, :]
+            ll = jnp.arange(L)[None, :, None]
+            ee = jnp.arange(E)[:, None, None]
+            obs_mb = obs_buf[kk, ll, ee, bb]  # [E, L, mb, F]
+            act_mb = act_buf[kk, ll, ee, bb]  # [E, L, mb, 6]
+            scal_mb = scal_buf[kk, ll, ee, bb]  # [E, L, mb, 6]
+            # rnn_buf [K, 2, 2, E, BE, H]: advanced indices (k, e, b) are
+            # non-adjacent so the indexed axes land in FRONT -> [E, mb,
+            # 2, 2, H]
+            rnn_mb = rnn_buf[k, :, :, jnp.arange(E)[:, None], b]
             return {
-                "obs": retree(obs_l, obs_tdef, obs_tails),
-                "actions": retree(act_l, act_tdef, act_tails),
-                "log_probs": retree(lp_l, lp_tdef, lp_tails),
-                "values": unscalar(vals),
-                "dones": unscalar(dones_u),
-                "adv": unscalar(adv_u),
-                "ret": unscalar(ret_u),
-                "rnn": rnn_u.reshape(
-                    (E, rnn_u.shape[1], 2, 2, policy_mod.RNN_HIDDEN)
-                ),
+                "obs_pack": obs_mb,
+                "act": act_mb,
+                "scal": scal_mb,
+                "rnn": rnn_mb,
             }
 
         num_units = K * BE
@@ -625,29 +593,36 @@ class TrainingManager:
         mb = num_units // pcfg.num_minibatches
 
         def loss_fn(params, batch):
-            # batch sequence leaves arrive TIME-MAJOR [L, mb, ...] straight
-            # from gather_batch — no per-leaf swapaxes here.
+            # batch leaves arrive TIME-MAJOR [L, mb, ...] straight from
+            # gather_batch (vmapped over the policy axis).
             # (NOTE: pre-casting the param tree to bf16 here was measured
             # SLOWER on v5e — +53 ms/update — the backward's per-param
             # convert-grads cost more than flax's per-layer promotes save.)
             rnn_start = jnp.moveaxis(batch["rnn"], 0, 2)  # [2, 2, mb, H]
+            obs = self._unpack_obs(batch["obs_pack"], obs_slots)
+            actions = {
+                "discrete": batch["act"][..., :4],
+                "aim": batch["act"][..., 4:6],
+            }
+            scal = batch["scal"]
+            dones_mb = scal[..., 1]
 
             new_lp, ent, new_v = self.model.apply(
                 {"params": params},
                 rnn_start,
-                batch["dones"],
-                batch["obs"],
-                batch["actions"],
+                dones_mb,
+                obs,
+                actions,
                 method=ActorCriticNet.sequence,
             )
             return ppo_loss(
                 new_lp,
                 ent,
                 new_v,
-                batch["log_probs"],
-                batch["values"],
-                batch["adv"],
-                batch["ret"],
+                {"discrete": scal[..., 4], "aim": scal[..., 5]},
+                scal[..., 0],
+                scal[..., 2],
+                scal[..., 3],
                 pcfg,
             )
 

@@ -12,3 +12,16 @@ def test_golden_trajectory_bit_exact_cpu():
     assert metrics["first_divergence_step"] == 100
     assert metrics["max_hp_err_horizon"] == 0.0
     assert metrics["max_reward_err_horizon"] == 0.0
+
+
+def test_golden_generate_refuses_non_cpu_backend(monkeypatch, tmp_path):
+    """The determinism contract's ratchet (VERDICT r4 item 10): regenerating
+    the golden on anything but the CPU backend must fail loudly."""
+    import jax
+    import pytest
+
+    from madrona_mp_env_tpu.tools import golden
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(RuntimeError, match="CPU backend"):
+        golden.generate(str(tmp_path / "g.npz"))

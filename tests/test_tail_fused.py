@@ -39,6 +39,24 @@ def _rollout(simple_map_dir, monkeypatch, tail_flag, steps=60):
     return state, np.asarray(rew), np.asarray(caps)
 
 
+def test_tail_fused_parity_smoke(simple_map_dir, monkeypatch):
+    """Fast-tier guard for the DEFAULT-ON fused tail kernel (VERDICT r4
+    item 6): a short rollout must match the jnp chain on rewards, captures,
+    and the scalar state the kernel owns. The exhaustive 60-step version
+    below stays in the slow tier."""
+    s_ref, r_ref, c_ref = _rollout(simple_map_dir, monkeypatch, "0", steps=6)
+    s_fused, r_fused, c_fused = _rollout(
+        simple_map_dir, monkeypatch, "1", steps=6
+    )
+    np.testing.assert_allclose(r_fused, r_ref, rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(c_fused, c_ref)
+    for name in ("hp", "team_points", "zone_steps_remaining", "reward",
+                 "min_dist_to_zone", "autoheal_steps"):
+        a = np.asarray(getattr(s_ref, name))
+        b = np.asarray(getattr(s_fused, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-4, err_msg=name)
+
+
 @pytest.mark.slow
 def test_tail_fused_matches_jnp_chain(simple_map_dir, monkeypatch):
     s_ref, r_ref, c_ref = _rollout(simple_map_dir, monkeypatch, "0")

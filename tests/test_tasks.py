@@ -107,6 +107,53 @@ def test_flank_reward_los_semantics(simple_map_dir):
     )
 
 
+def test_flank_reward_uses_same_step_los(simple_map_dir):
+    """The flank reward must consume THIS step's visibility (the reference
+    raycasts inside flankRewardSystem, src/sim.cpp:4228-4267), not the
+    previous step's fan. Stale prev_* tables are poisoned with the opposite
+    booleans: if the wiring regressed to stale reads, agent 0's reward
+    would be 0.003 instead of 0."""
+    cfg = mp.EnvConfig(
+        task=mp.Task.Zone,
+        team_size=2,
+        reward_mode=mp.RewardMode.Flank,
+        episode_len=64,
+    )
+    env = mp.Env(cfg, simple_map_dir, num_worlds=1, seed=0)
+    state, _ = env.reset()
+
+    # open-space scenario: teammates 0,1 are 30 apart facing each other
+    # (mutually visible, < 100 -> no teammate term); opponents 2,3 are 100
+    # north facing south (both see both -> no opponent term)
+    pos = jnp.array(
+        [[[0.0, 0.0, 0.0], [30.0, 0.0, 0.0],
+          [0.0, 100.0, 0.0], [30.0, 100.0, 0.0]]]
+    )
+    yaw = jnp.array([[-jnp.pi / 2, jnp.pi / 2, jnp.pi, jnp.pi]])
+    state = state.replace(
+        pos=pos,
+        yaw=yaw,
+        pitch=jnp.zeros((1, 4)),
+        vel=jnp.zeros((1, 4, 3)),
+        alive=jnp.ones((1, 4), jnp.float32),
+        hp=jnp.full((1, 4), 100.0),
+        policy_idx=jnp.zeros((1, 4), jnp.int32),  # no bot overlay
+        # poisoned stale tables: opposite of the fresh geometry
+        prev_teammate_vis=jnp.zeros((1, 4, 2), bool),
+        prev_can_see=jnp.zeros((1, 4, 2), bool),
+        landed_shot_on=jnp.full((1, 4), -1, jnp.int32),
+        successful_kill=jnp.zeros((1, 4), bool),
+        crumb_total_penalty=jnp.zeros((1, 4)),
+        reward_coefs=jnp.zeros_like(state.reward_coefs),
+    )
+    acts = env.zero_actions()
+    _, out = env.step(state, acts)
+    r = np.asarray(out["reward"])[0]
+    # fresh LOS: teammate near+visible, opponents see everyone -> 0 reward
+    np.testing.assert_allclose(r[0], 0.0, atol=1e-7)
+    np.testing.assert_allclose(r[1], 0.0, atol=1e-7)
+
+
 def test_flank_mode_env_smoke(simple_map_dir):
     """Flank-mode env steps end-to-end and writes prev_teammate_vis from
     the extended LOS fan."""

