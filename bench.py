@@ -133,11 +133,21 @@ def bench_env(num_worlds, num_steps, team_size=6, scene=None, devices=1):
 
 
 def bench_train(num_worlds, steps_per_update, num_updates=3, team_size=6,
-                scene=None, pbt=1, f32=False, num_minibatches=4):
+                scene=None, pbt=1, f32=False, num_minibatches=None):
     """Fused actor-learner throughput (rollout + GAE + PPO inside one jit —
-    the reference's training FPS metric, scripts/jax_train.py:307-309)."""
+    the reference's training FPS metric, scripts/jax_train.py:307-309).
+
+    num_minibatches=None scales the minibatch COUNT with the world count so
+    the per-minibatch unit count stays ~12k sequences (the working set of
+    the 1024-world/4-minibatch config): recurrent-PPO backward activations
+    are proportional to minibatch size, and a fixed count OOMs at 4096+
+    worlds."""
     import madrona_mp_env_tpu as mp
     from madrona_mp_env_tpu.train import PPOConfig, TrainConfig, TrainingManager
+
+    if num_minibatches is None:
+        units = 4 * num_worlds * 2 * team_size  # num_bptt_chunks * actors
+        num_minibatches = max(4, units // 12288)
 
     scene = scene or os.path.join(REPO, "data", "simple_map")
     cfg = mp.EnvConfig(
@@ -196,7 +206,8 @@ def main():
                     help="benchmark the fused actor-learner update instead")
     ap.add_argument("--steps-per-update", type=int, default=40)
     ap.add_argument("--num-updates", type=int, default=3)
-    ap.add_argument("--num-minibatches", type=int, default=4)
+    ap.add_argument("--num-minibatches", type=int, default=None,
+                    help="default scales with worlds (fixed ~49k units/mb)")
     ap.add_argument("--pbt", type=int, default=1)
     ap.add_argument("--f32", action="store_true",
                     help="train in f32 (default bf16 — the reference's "

@@ -173,6 +173,8 @@ def main(argv=None):
     ap.add_argument("--team-size", type=int, default=6)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--f32", action="store_true",
+                    help="profile the train update in f32 (default bf16)")
     ap.add_argument("--scene", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -204,6 +206,8 @@ def main(argv=None):
             num_bptt_chunks=4,
             num_train_policies=1,
             ppo=PPOConfig(num_epochs=2, num_minibatches=4),
+            # match bench.py --train (bf16 is the headline config)
+            compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
             seed=5,
         )
         env = mp.Env(cfg, scene, num_worlds=args.worlds, seed=5)
@@ -225,7 +229,8 @@ def main(argv=None):
         fps = args.worlds * tcfg.steps_per_update * n_upd / dt
         print(f"train.update: {per_upd_ms:.3f} ms/update "
               f"({fps:,.0f} env-steps/s, {tcfg.steps_per_update} "
-              f"steps/update @ {args.worlds} worlds)")
+              f"steps/update @ {args.worlds} worlds, "
+              f"{tcfg.compute_dtype.__name__})")
         rows, total_ps, intervals = aggregate_trace(logdir, args.top)
         any_ms = _coverage(intervals, lambda c, b: True) / 1e9 / n_upd
         compute_ms = _coverage(intervals, lambda c, b: not c) / 1e9 / n_upd
@@ -239,6 +244,7 @@ def main(argv=None):
         print(f"\n{'top events (full names)':100s} {'ms/update':>9s}")
         for name, ps in rows.most_common(args.top):
             print(f"{name[:100]:100s} {ps / 1e9 / n_upd:9.4f}")
+        _shape_table(rows, args.top, n_upd, per="ms/update")
         return
     env = mp.Env(cfg, scene, num_worlds=args.worlds, seed=5)
     state, obs = env.reset()
@@ -295,6 +301,10 @@ def main(argv=None):
         ms = ps / 1e9 / n
         print(f"{name[:100]:100s} {ms:9.4f}")
 
+    _shape_table(rows, args.top, n)
+
+
+def _shape_table(rows, top, n, per="ms/step"):
     # aggregate NON-copy, NON-custom-call compute by output shape signature
     # — maps the XLA fusion swarm back to sim subsystems by tensor shape
     import re
@@ -311,8 +321,8 @@ def main(argv=None):
         by_shape[sig] += ps
         cnt[sig] += 1
     print(f"\n{'fusion compute by output shape':44s} {'count':>6s} "
-          f"{'ms/step':>9s}")
-    for sig, ps in by_shape.most_common(args.top):
+          f"{per:>9s}")
+    for sig, ps in by_shape.most_common(top):
         print(f"{sig:44s} {cnt[sig]:6d} {ps / 1e9 / n:9.4f}")
 
 

@@ -106,8 +106,10 @@ def bc_update_fn(model: ActorCriticNet, tx, kl_coef: float = 0.0):
         if kl_coef > 0.0:
             # KL(old || new) per head against the stored logits
             new_logits = jnp.concatenate(
-                [jax.nn.log_softmax(l, axis=-1) for l in dists.discrete.logits]
-                + [jax.nn.log_softmax(l, axis=-1) for l in dists.aim.logits],
+                [
+                    dists.discrete.packed_log_probs(),
+                    dists.aim.packed_log_probs(),
+                ],
                 axis=-1,
             )
             off = 0

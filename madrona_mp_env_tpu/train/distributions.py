@@ -4,60 +4,103 @@ Equivalent of madrona_learn's DiscreteActionDistributions (consumed by the
 reference policy, scripts/jax_policy.py:38-50): a set of independent
 categorical heads over one feature vector; sample / log-prob / entropy /
 argmax across all heads at once.
+
+The head logits stay PACKED in one [..., sum(buckets)] array: per-head
+[..., b<=13] tensors put a tiny dim on the 128-wide lane axis, so every
+log-softmax materialized ~10x padding traffic — measured as a large slice
+of the PPO update's f32 fusion smear on v5e. The packed form computes the
+per-head log-softmaxes with segment reductions (identical math per head),
+one take_along_axis for all heads' chosen-action log-probs, and one full
+reduction for the group entropy (= sum of per-head entropies).
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
 @struct.dataclass
 class DiscreteActionDistributions:
-    """logits: list of [..., n_buckets_i] arrays, one per sub-action."""
+    """logits: ONE packed [..., sum(buckets)] array; buckets static."""
 
-    logits: Tuple[jax.Array, ...]
+    logits: jax.Array
+    buckets: Tuple[int, ...] = struct.field(pytree_node=False)
+
+    def _segments(self):
+        off = 0
+        segs = []
+        for b in self.buckets:
+            segs.append((off, b))
+            off += b
+        return segs
+
+    @property
+    def offsets(self) -> np.ndarray:
+        return np.cumsum([0] + list(self.buckets))[:-1]
+
+    def packed_log_probs(self) -> jax.Array:
+        """Per-head log-softmax, packed [..., S] (bitwise equal per head to
+        jax.nn.log_softmax on the head's slice)."""
+        x = self.logits
+        segs = self._segments()
+        shifted_parts = []
+        for o, b in segs:
+            sl = x[..., o : o + b]
+            m = jax.lax.stop_gradient(
+                jnp.max(sl, axis=-1, keepdims=True)
+            )
+            shifted_parts.append(sl - m)
+        shifted = jnp.concatenate(shifted_parts, axis=-1)
+        e = jnp.exp(shifted)
+        lse_parts = []
+        for o, b in segs:
+            s = jnp.sum(e[..., o : o + b], axis=-1, keepdims=True)
+            lse_parts.append(
+                jnp.broadcast_to(jnp.log(s), e[..., o : o + b].shape)
+            )
+        return shifted - jnp.concatenate(lse_parts, axis=-1)
 
     def sample(self, key):
-        keys = jax.random.split(key, len(self.logits))
+        """Gumbel-max per head from one packed noise draw. Returns
+        (actions [..., H] i32, total log_prob [...])."""
+        lp = self.packed_log_probs()
+        g = jax.random.gumbel(key, self.logits.shape, jnp.float32)
+        z = lp + g
         actions = []
-        log_probs = []
-        for k, lg in zip(keys, self.logits):
-            a = jax.random.categorical(k, lg, axis=-1)
-            lp = jax.nn.log_softmax(lg, axis=-1)
-            alp = jnp.take_along_axis(lp, a[..., None], axis=-1)[..., 0]
-            actions.append(a.astype(jnp.int32))
-            log_probs.append(alp)
-        return (
-            jnp.stack(actions, axis=-1),
-            jnp.sum(jnp.stack(log_probs, axis=-1), axis=-1),
-        )
+        for o, b in self._segments():
+            actions.append(
+                jnp.argmax(z[..., o : o + b], axis=-1).astype(jnp.int32)
+            )
+        actions = jnp.stack(actions, axis=-1)  # [..., H]
+        idx = actions + jnp.asarray(self.offsets, jnp.int32)
+        alp = jnp.take_along_axis(lp, idx, axis=-1)
+        return actions, jnp.sum(alp, axis=-1)
 
     def best(self):
         return jnp.stack(
-            [jnp.argmax(lg, axis=-1).astype(jnp.int32) for lg in self.logits],
+            [
+                jnp.argmax(
+                    self.logits[..., o : o + b], axis=-1
+                ).astype(jnp.int32)
+                for o, b in self._segments()
+            ],
             axis=-1,
         )
 
     def action_stats(self, actions):
         """actions: [..., num_heads] -> (log_prob [...], entropy [...])."""
-        log_probs = []
-        entropies = []
-        for i, lg in enumerate(self.logits):
-            lp = jax.nn.log_softmax(lg, axis=-1)
-            p = jnp.exp(lp)
-            entropies.append(-jnp.sum(p * lp, axis=-1))
-            alp = jnp.take_along_axis(
-                lp, actions[..., i][..., None], axis=-1
-            )[..., 0]
-            log_probs.append(alp)
-        return (
-            jnp.sum(jnp.stack(log_probs, axis=-1), axis=-1),
-            jnp.sum(jnp.stack(entropies, axis=-1), axis=-1),
-        )
+        lp = self.packed_log_probs()
+        idx = actions + jnp.asarray(self.offsets, jnp.int32)
+        alp = jnp.take_along_axis(lp, idx, axis=-1)
+        # group entropy = sum over heads of per-head entropies = one full
+        # reduction over the packed axis
+        ent = -jnp.sum(jnp.exp(lp) * lp, axis=-1)
+        return jnp.sum(alp, axis=-1), ent
 
 
 @struct.dataclass

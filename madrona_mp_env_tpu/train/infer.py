@@ -221,8 +221,10 @@ class EvalManager:
             rnn2 = clear_rnn_states(rnn2, done_b != 0)
 
             logits = jnp.concatenate(
-                [jax.nn.log_softmax(l, axis=-1) for l in dists.discrete.logits]
-                + [jax.nn.log_softmax(l, axis=-1) for l in dists.aim.logits],
+                [
+                    dists.discrete.packed_log_probs(),
+                    dists.aim.packed_log_probs(),
+                ],
                 axis=-1,
             )
 

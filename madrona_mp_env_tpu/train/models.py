@@ -207,12 +207,9 @@ class DenseLayerDiscreteActor(nn.Module):
             dtype=self.dtype,
         )(features)
         flat = flat.astype(jnp.float32)
-        logits = []
-        off = 0
-        for b in self.buckets:
-            logits.append(flat[..., off : off + b])
-            off += b
-        return DiscreteActionDistributions(logits=tuple(logits))
+        return DiscreteActionDistributions(
+            logits=flat, buckets=tuple(self.buckets)
+        )
 
 
 class DenseLayerCritic(nn.Module):

@@ -34,14 +34,19 @@ RNN_HIDDEN = 512
 def sinusoidal_embedding(pos, num_freqs=16):
     """vaswani_positional_embedding (scripts/jax_policy.py:62-82):
     [sin(p*2^i*pi), cos(p*2^i*pi)] interleaved per frequency, flattened over
-    (freq, dim)."""
+    (freq, dim).
+
+    Built by concatenating [..., D] pieces on the minor axis (same feature
+    order as the old stack+reshape, so checkpoints/normalizer stats are
+    unchanged): the [..., num_freqs, D] intermediate put (16, 3) on the
+    two minor dims, which TPU tiles pad 3 -> 128 lanes — measured ~60
+    ms/update of pure padding traffic in the PPO loss."""
     outs = []
     for i in range(num_freqs // 2):
         v = pos * (2.0 ** i) * jnp.pi
         outs.append(jnp.sin(v))
         outs.append(jnp.cos(v))
-    stacked = jnp.stack(outs, axis=-2)  # [..., num_freqs, D]
-    return stacked.reshape(*stacked.shape[:-2], -1)
+    return jnp.concatenate(outs, axis=-1)  # [..., num_freqs * D]
 
 
 class PrefixCommon(nn.Module):
