@@ -73,18 +73,14 @@ def step_world_core(
     # 5. movement chain
     state = movement.movement_system(cfg, state, actions)
     state = movement.aim_systems(cfg, state, actions)
-    from ..ops.movement_pallas import apply_velocity_fall_fused, use_move_fused
-
-    if use_move_fused(m):
-        # collide-and-slide + fall in ONE Pallas launch (the split
-        # pipeline's four small launches cost ~0.2 ms each in grid/staging
-        # overhead — ops/movement_pallas.py module notes)
-        state = apply_velocity_fall_fused(cfg, m, state)
-    else:
-        state = movement.apply_velocity_system(
-            cfg, m, state, cells=cells_pre
-        )
-        state = movement.fall_system(cfg, m, state, cells=cells_pre)
+    # the split collide-and-slide + fall pipeline is the production path;
+    # the fused movement megakernel was measured slower in every config
+    # (BASELINE.md round-3 notes) and now lives in
+    # tools/probes/movement_fused_probe.py
+    state = movement.apply_velocity_system(
+        cfg, m, state, cells=cells_pre
+    )
+    state = movement.fall_system(cfg, m, state, cells=cells_pre)
 
     # 6. combat (fireSystem, or hlBattleSystem in high-level-move mode)
     if cfg.highlevel_move:

@@ -1,4 +1,4 @@
-"""Fused collide-and-slide + fall megakernel.
+"""[PROBE — demoted from madrona_mp_env_tpu/ops in round 5] Fused collide-and-slide + fall megakernel.
 
 One Pallas launch per step runs the WHOLE movement contact pipeline for a
 block of agents — L1 (slope + low/high forward + 4 unstick probes), the
@@ -40,8 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import consts
-from .raycast_pallas import SC2_ROWS, _env_int, _interp
+from madrona_mp_env_tpu import consts
+from madrona_mp_env_tpu.ops.raycast_pallas import SC2_ROWS, _env_int, _interp
 
 INF = jnp.inf
 
@@ -771,7 +771,7 @@ def apply_velocity_fall_fused(cfg, m, state):
     apply_velocity_system -> fall_system pair in the step graph; the
     velocity commit uses the PRE-fall position exactly like the split
     pipeline (fall never touches vel)."""
-    from ..sim.types import Pose
+    from madrona_mp_env_tpu.sim.types import Pose
 
     r = consts.agent_radius
     x = state.pos
