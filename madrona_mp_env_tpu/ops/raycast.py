@@ -46,17 +46,6 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def culling_mode() -> str:
-    """MPENV_CULL: "0" off (default), "1" per-fan candidate-block kernels,
-    "sorted" cell-sorted fan layout (one candidate block per Pallas block —
-    the dense kernel's MXU structure over K candidates)."""
-    return os.environ.get("MPENV_CULL", "0")
-
-
-def use_culling() -> bool:
-    return culling_mode() in ("1", "sorted")
-
-
 def pallas_interpret() -> bool:
     return pallas_mode() == "interpret"
 
@@ -139,14 +128,6 @@ def ray_vs_tris(o, d, soup: TriSoup, t_max=INF, *, cells=None, tables=None):
     sweep below is the portable reference path (CPU tests, interpret mode).
     """
     if use_pallas():
-        if tables is not None and cells is not None and use_culling():
-            if culling_mode() == "sorted":
-                from .raycast_cull import rays_cull_sorted
-
-                return rays_cull_sorted(o, d, cells, tables, t_max=t_max)
-            from .raycast_cull import rays_cull
-
-            return rays_cull(o, d, cells, tables, t_max=t_max)
         from .raycast_pallas import ray_vs_tris_pallas
 
         return ray_vs_tris_pallas(o, d, soup.packed, t_max=t_max)
@@ -177,9 +158,6 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
     if components:
         assert zgroups is not None
         aligned = all(g % 8 == 0 for g in zgroups)
-        legacy_cull = (
-            tables is not None and cells is not None and use_culling()
-        )
         # v9 transposed fan kernel over per-cell sensor-ray tables (rays on
         # lanes, K candidates on sublanes — ops/raycast_pallas.py v9 notes)
         # Opt-in for now: the v9 kernel is parity-correct (tests/
@@ -189,7 +167,7 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
         # remaining gap is in-kernel; flip to "auto" once it wins.
         v9_mode = os.environ.get("MPENV_FAN_V9", "0")
         use_v9 = (
-            use_pallas() and not legacy_cull
+            use_pallas()
             and ray_tables is not None and ray_cells is not None
             and v9_mode == "1"
         )
@@ -216,14 +194,14 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
         mode = os.environ.get("MPENV_FAN_CULL", "auto")
         fan_cull = mode == "1" or (mode == "auto" and fan_cull_wins)
         if (use_pallas() and aligned and tables is not None
-                and cells is not None and not legacy_cull and fan_cull):
+                and cells is not None and fan_cull):
             from .raycast_pallas import ray_fans_culled_planar
 
             return ray_fans_culled_planar(
                 origins, zoffs, dirs, cells, tables, t_max,
                 zgroups=zgroups,
             )
-        if use_pallas() and aligned and not legacy_cull:
+        if use_pallas() and aligned:
             from .raycast_pallas import ray_fans_vs_tris_planar
 
             return ray_fans_vs_tris_planar(
@@ -242,17 +220,6 @@ def ray_fans_vs_tris(origins, zoffs, dirs, soup: TriSoup, t_max=INF, *,
             # one z per run (contract: uniform within each run)
             starts = np.cumsum((0,) + tuple(zgroups))[:-1]
             zg = jnp.stack([zoffs[..., int(s)] for s in starts], axis=-1)
-        if tables is not None and cells is not None and use_culling():
-            if culling_mode() == "sorted":
-                from .raycast_cull import ray_fans_cull_sorted
-
-                return ray_fans_cull_sorted(
-                    origins, zg if zg is not None else zoffs, dirs, cells,
-                    tables, t_max, zgroups=zgroups,
-                )
-            from .raycast_cull import ray_fans_cull
-
-            return ray_fans_cull(origins, zoffs, dirs, cells, tables, t_max)
         from .raycast_pallas import ray_fans_vs_tris_pallas
 
         return ray_fans_vs_tris_pallas(
@@ -349,18 +316,11 @@ def sphere_cast_grouped(o, d, r, soup: TriSoup, t_max=INF, *, cells=None,
     normal [..., CPA, 3]) with sphere_cast_vs_tris semantics.
     ``with_normal=False`` lets the TPU kernel skip the winner-normal
     reconstruction (normals zeros) for casts that only consume t."""
-    if (use_pallas() and tables is not None and cells is not None
-            and use_culling()):
-        if culling_mode() == "sorted":
-            from .raycast_cull import sphere_cast_cull_sorted
-
-            return sphere_cast_cull_sorted(
-                o, d, float(r), cells, tables, soup, t_max,
-                with_normal=with_normal,
-            )
-        from .raycast_cull import sphere_cast_cull
-
-        return sphere_cast_cull(o, d, float(r), cells, tables, soup, t_max)
+    # legacy MPENV_CULL per-fan/sorted kernels removed in round 5: the
+    # auto-gated planar culled fan (ray_fans_culled_planar) and default-on
+    # short tables (MPENV_SC_CULL) superseded them; cells/tables remain
+    # accepted so call sites need no change.
+    del cells, tables
     return sphere_cast_vs_tris(o, d, r, soup, t_max,
                                with_normal=with_normal)
 

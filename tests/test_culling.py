@@ -143,221 +143,11 @@ class TestBuilder:
 
 
 class TestCulledKernels:
-    def test_rays_cull_vs_restricted_dense(self, synth):
-        tv, tables, soup, _ = synth
-        o, d = sample_queries(tables, 512, seed=1)
-        cells = culling.cell_index(tables, o)
-        from madrona_mp_env_tpu.ops.raycast_cull import rays_cull
-
-        t_k = np.asarray(rays_cull(o, d, cells, tables))
-        rs = restricted_soup(tv, tables, cells)
-        t_d = np.asarray(
-            jax.vmap(lambda oo, dd, a, b, c, vl, nn: rc._ray_vs_tris_dense(
-                oo, dd, rs._replace(v0=a, e1=b, e2=c, valid=vl, normal=nn)
-            ))(o, d, rs.v0, rs.e1, rs.e2, rs.valid, rs.normal)
-        )
-        both = np.isfinite(t_k) & np.isfinite(t_d)
-        assert (np.isfinite(t_k) == np.isfinite(t_d)).mean() >= 0.995
-        rel = np.abs(t_k[both] - t_d[both]) / np.maximum(t_d[both], 1.0)
-        assert rel.max() <= 1e-4
-
-    def test_fan_cull_vs_dense_full(self, synth):
-        """Culled fan kernel vs the FULL dense sweep (tables + kernel)."""
-        tv, tables, soup, _ = synth
-        N, F = 16, 24
-        rng = np.random.default_rng(3)
-        base = np.stack(
-            [rng.uniform(-520, 520, N), rng.uniform(-520, 520, N),
-             np.full(N, 0.0)], axis=1
-        ).astype(np.float32)
-        zoffs = rng.uniform(10, 70, (N, F)).astype(np.float32)
-        d = rng.normal(size=(N, F, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        base, zoffs, d = jnp.asarray(base), jnp.asarray(zoffs), jnp.asarray(d)
-
-        cells = culling.cell_index(tables, base)
-        from madrona_mp_env_tpu.ops.raycast_cull import ray_fans_cull
-
-        t_k = np.asarray(ray_fans_cull(base, zoffs, d, cells, tables))
-        o = base[:, None, :] + jnp.stack(
-            [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
-        )
-        t_d = np.asarray(rc._ray_vs_tris_dense(o, d, soup))
-        both = np.isfinite(t_k) & np.isfinite(t_d)
-        assert (np.isfinite(t_k) == np.isfinite(t_d)).mean() >= 0.995
-        rel = np.abs(t_k[both] - t_d[both]) / np.maximum(t_d[both], 1.0)
-        assert rel.max() <= 1e-4
-
-    def test_cell_sorted_layout_invariants(self, synth):
-        from madrona_mp_env_tpu.ops.raycast_cull import (
-            SORTED_FPB,
-            cell_sorted_layout,
-        )
-
-        _, tables, _, _ = synth
-        rng = np.random.default_rng(11)
-        C = tables.num_cells
-        cells = jnp.asarray(rng.integers(0, C, 333).astype(np.int32))
-        slot, block_cell, S = cell_sorted_layout(cells, C, SORTED_FPB)
-        slot, block_cell = np.asarray(slot), np.asarray(block_cell)
-        assert S % SORTED_FPB == 0 and len(block_cell) == S // SORTED_FPB
-        # slots are unique (a scatter never collides)
-        assert len(np.unique(slot)) == len(slot)
-        # every fan's block is its own cell
-        assert (block_cell[slot // SORTED_FPB] == np.asarray(cells)).all()
-
-    def test_fan_cull_sorted_vs_dense_full(self, synth):
-        """Cell-sorted culled fan kernel (bf16 MXU dots) vs the FULL dense
-        sweep; tolerance matches the dense Pallas fan kernel bounds."""
-        tv, tables, soup, _ = synth
-        N, F = 48, 24
-        rng = np.random.default_rng(7)
-        base = np.stack(
-            [rng.uniform(-520, 520, N), rng.uniform(-520, 520, N),
-             np.full(N, 0.0)], axis=1
-        ).astype(np.float32)
-        zoffs = rng.uniform(10, 70, (N, F)).astype(np.float32)
-        d = rng.normal(size=(N, F, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        base, zoffs, d = jnp.asarray(base), jnp.asarray(zoffs), jnp.asarray(d)
-
-        cells = culling.cell_index(tables, base)
-        from madrona_mp_env_tpu.ops.raycast_cull import ray_fans_cull_sorted
-
-        t_k = np.asarray(ray_fans_cull_sorted(base, zoffs, d, cells, tables))
-        o = base[:, None, :] + jnp.stack(
-            [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
-        )
-        t_d = np.asarray(rc._ray_vs_tris_dense(o, d, soup))
-        both = np.isfinite(t_k) & np.isfinite(t_d)
-        assert (np.isfinite(t_k) == np.isfinite(t_d)).mean() >= 0.99
-        rel = np.abs(t_k[both] - t_d[both]) / np.maximum(t_d[both], 1.0)
-        # bf16 direction dots: edge-grazing rays may flip hit->next-hit
-        # (same documented mode as the dense Pallas fan kernel); bound the
-        # fraction, and the non-grazing error tightly
-        assert (rel > 2e-2).mean() <= 0.01, rel.max()
-        assert np.quantile(rel, 0.99) <= 2e-2
-        # vmapped (the sim's per-world call shape) matches flat
-        t_v = np.asarray(
-            jax.vmap(
-                lambda b, z, dd, c: ray_fans_cull_sorted(
-                    b, z, dd, c, tables
-                )
-            )(
-                base.reshape(4, 12, 3), zoffs.reshape(4, 12, F),
-                d.reshape(4, 12, F, 3), cells.reshape(4, 12),
-            )
-        ).reshape(N, F)
-        np.testing.assert_allclose(t_v, t_k, rtol=1e-6)
-
-    def test_fan_cull_sorted_zgroups(self, synth):
-        """Grouped-z sorted-culled fans (the sim's sensor configuration)
-        match the per-ray-z sorted kernel exactly."""
-        tv, tables, soup, _ = synth
-        from madrona_mp_env_tpu.ops.raycast_cull import ray_fans_cull_sorted
-
-        N = 24
-        zgroups = (8, 8, 8)
-        F = sum(zgroups)
-        rng = np.random.default_rng(17)
-        base = np.stack(
-            [rng.uniform(-520, 520, N), rng.uniform(-520, 520, N),
-             np.full(N, 0.0)], axis=1
-        ).astype(np.float32)
-        zg = rng.uniform(10, 70, (N, len(zgroups))).astype(np.float32)
-        zoffs = np.repeat(zg, zgroups, axis=-1)
-        d = rng.normal(size=(N, F, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        base, d = jnp.asarray(base), jnp.asarray(d)
-        cells = culling.cell_index(tables, base)
-
-        t_g = np.asarray(ray_fans_cull_sorted(
-            base, jnp.asarray(zg), d, cells, tables, zgroups=zgroups
-        ))
-        t_r = np.asarray(ray_fans_cull_sorted(
-            base, jnp.asarray(zoffs), d, cells, tables
-        ))
-        np.testing.assert_allclose(t_g, t_r, rtol=1e-5)
-
-    def test_sphere_cast_cull_vs_dense_full(self, synth):
-        tv, tables, soup, _ = synth
-        N, CPA = 64, 7
-        rng = np.random.default_rng(5)
-        o = np.stack(
-            [rng.uniform(-520, 520, N), rng.uniform(-520, 520, N),
-             rng.uniform(16, 80, N)], axis=1
-        ).astype(np.float32)
-        o_g = np.repeat(o[:, None, :], CPA, axis=1)
-        o_g += rng.uniform(-10, 10, o_g.shape).astype(np.float32)
-        d = rng.normal(size=(N, CPA, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        o_g, d = jnp.asarray(o_g), jnp.asarray(d)
-
-        cells = culling.cell_index(tables, jnp.asarray(o))
-        from madrona_mp_env_tpu.ops.raycast_cull import sphere_cast_cull
-
-        t_k, n_k = sphere_cast_cull(o_g, d, 15.0, cells, tables, soup)
-        t_d, n_d = rc._sphere_cast_vs_tris_dense(o_g, d, 15.0, soup)
-        t_k, t_d = np.asarray(t_k), np.asarray(t_d)
-        agree = np.isfinite(t_k) == np.isfinite(t_d)
-        assert agree.mean() >= 0.995
-        both = np.isfinite(t_k) & np.isfinite(t_d)
-        assert np.abs(t_k[both] - t_d[both]).max() <= 1e-2
-        pos = both & (t_k > 1e-6) & (np.abs(t_k - t_d) <= 1e-3)
-        if pos.any():
-            dot = np.sum(np.asarray(n_k)[pos] * np.asarray(n_d)[pos], -1)
-            assert dot.min() >= 0.99
-
-    def test_sphere_cast_cull_sorted_vs_dense_full(self, synth):
-        """Cell-sorted grouped sphere casts (one candidate block per Pallas
-        block) vs the full dense sweep, with and without normals."""
-        tv, tables, soup, _ = synth
-        N, CPA = 64, 7
-        rng = np.random.default_rng(6)
-        o = np.stack(
-            [rng.uniform(-520, 520, N), rng.uniform(-520, 520, N),
-             rng.uniform(16, 80, N)], axis=1
-        ).astype(np.float32)
-        o_g = np.repeat(o[:, None, :], CPA, axis=1)
-        o_g += rng.uniform(-10, 10, o_g.shape).astype(np.float32)
-        d = rng.normal(size=(N, CPA, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        o_g, d = jnp.asarray(o_g), jnp.asarray(d)
-
-        cells = culling.cell_index(tables, jnp.asarray(o))
-        from madrona_mp_env_tpu.ops.raycast_cull import (
-            sphere_cast_cull_sorted,
-        )
-
-        t_k, n_k = sphere_cast_cull_sorted(
-            o_g, d, 15.0, cells, tables, soup
-        )
-        t_d, n_d = rc._sphere_cast_vs_tris_dense(o_g, d, 15.0, soup)
-        t_k, t_d = np.asarray(t_k), np.asarray(t_d)
-        agree = np.isfinite(t_k) == np.isfinite(t_d)
-        assert agree.mean() >= 0.995
-        both = np.isfinite(t_k) & np.isfinite(t_d)
-        assert np.abs(t_k[both] - t_d[both]).max() <= 1e-2
-        pos = both & (t_k > 1e-6) & (np.abs(t_k - t_d) <= 1e-3)
-        if pos.any():
-            dot = np.sum(np.asarray(n_k)[pos] * np.asarray(n_d)[pos], -1)
-            assert dot.min() >= 0.99
-        # normal-free launch: identical t, zero normals
-        t_nf, n_nf = sphere_cast_cull_sorted(
-            o_g, d, 15.0, cells, tables, soup, with_normal=False
-        )
-        np.testing.assert_allclose(np.asarray(t_nf), t_k, rtol=1e-6)
-        assert not np.asarray(n_nf).any()
-        # vmapped (the sim's per-world call shape) matches flat
-        t_v, _ = jax.vmap(
-            lambda oo, dd, cc: sphere_cast_cull_sorted(
-                oo, dd, 15.0, cc, tables, soup
-            )
-        )(o_g.reshape(4, 16, CPA, 3), d.reshape(4, 16, CPA, 3),
-          cells.reshape(4, 16))
-        np.testing.assert_allclose(
-            np.asarray(t_v).reshape(N, CPA), t_k, rtol=1e-6
-        )
+    # (round 5) legacy MPENV_CULL kernel tests removed with the kernels:
+    # rays_cull / ray_fans_cull / cell-sorted fan + sphere-cast variants
+    # were superseded by the auto-gated planar culled fan
+    # (ray_fans_culled_planar, tested in tests/test_town_map.py and
+    # TestFullStepParity below) and the default-on short tables.
 
     def test_fan_capsules_vs_dense(self, synth):
         _, tables, _, _ = synth
@@ -409,11 +199,11 @@ class TestCulledKernels:
 
 
 class TestFullStepParity:
-    def test_step_sorted_culled_vs_dense(self, simple_map_dir):
-        """One env step with the cell-sorted culled kernels forced
-        (MPENV_CULL=sorted, interpret) vs the dense jnp path from identical
-        state — covers the production TPU dispatch (fan + fire + grouped
-        sphere casts all through the sorted tables)."""
+    def test_step_culled_fan_vs_dense(self, simple_map_dir):
+        """One env step with the planar culled fan forced (MPENV_FAN_CULL=1,
+        interpret) vs the dense jnp path from identical state — covers the
+        big-map production dispatch (the same kernel the T >= 4K auto-gate
+        picks on town_map) through the whole step."""
         import madrona_mp_env_tpu as mp
         from madrona_mp_env_tpu.sim.types import Actions
 
@@ -447,9 +237,9 @@ class TestFullStepParity:
                     aim_pitch_rate=jnp.zeros((2, A), jnp.float32),
                 )
                 os.environ["MPENV_PALLAS"] = "interpret"
-                os.environ["MPENV_CULL"] = "sorted"
+                os.environ["MPENV_FAN_CULL"] = "1"
                 s_k, out_k = step(state, acts, sim_ctrl, no_reset)
-                os.environ["MPENV_CULL"] = "0"
+                os.environ["MPENV_FAN_CULL"] = "auto"
                 os.environ["MPENV_PALLAS"] = "dense"
                 s_d, out_d = step(state, acts, sim_ctrl, no_reset)
                 os.environ["MPENV_PALLAS"] = "interpret"
@@ -478,7 +268,7 @@ class TestFullStepParity:
                 )
                 state = s_d  # dense trajectory is the canon
         finally:
-            os.environ.pop("MPENV_CULL", None)
+            os.environ.pop("MPENV_FAN_CULL", None)
 
     def test_step_pallas_vs_dense(self, simple_map_dir):
         """One env step via the dense-soup Pallas kernels (interpret) vs the

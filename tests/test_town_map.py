@@ -92,15 +92,18 @@ def test_town_big_map_path_selected(town_cached_dir):
 
 @pytest.mark.slow
 def test_town_culled_fan_parity(town_cached_dir, monkeypatch):
-    """Cell-culled fan vs dense sweep on the real town geometry."""
+    """The production planar culled fan (the kernel the T >= 4K auto-gate
+    selects on big maps, ops/raycast_pallas.py ray_fans_culled_planar) vs
+    the dense sweep on the real town geometry, driven through the public
+    ray_fans_vs_tris dispatcher exactly like sim/observations.py does."""
     monkeypatch.setenv("MPENV_PALLAS", "interpret")
+    monkeypatch.setenv("MPENV_FAN_CULL", "1")
     import jax.numpy as jnp
 
     import madrona_mp_env_tpu as mp
     from madrona_mp_env_tpu.assets.map_data import load_map
     from madrona_mp_env_tpu.ops import culling
     from madrona_mp_env_tpu.ops import raycast as rc
-    from madrona_mp_env_tpu.ops.raycast_cull import ray_fans_cull
 
     cfg = mp.EnvConfig(task=mp.Task.Zone, team_size=6)
     m = load_map(town_cached_dir, cfg)
@@ -108,20 +111,29 @@ def test_town_culled_fan_parity(town_cached_dir, monkeypatch):
 
     rng = np.random.default_rng(5)
     cents = np.asarray(m.nav_centroids)
-    N, F = 16, 24
+    N = 16
+    zgroups = (8, 8, 8)
+    F = sum(zgroups)
     base = cents[rng.integers(0, len(cents), N)].astype(np.float32)
-    zoffs = rng.uniform(10, 60, (N, F)).astype(np.float32)
+    # one z offset per group (dispatcher contract: uniform within a run)
+    zg = rng.uniform(10, 60, (N, len(zgroups))).astype(np.float32)
     d = rng.normal(size=(N, F, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    base, zoffs, d = jnp.asarray(base), jnp.asarray(zoffs), jnp.asarray(d)
+    dx, dy, dz = (jnp.asarray(d[..., i]) for i in range(3))
+    base, zg = jnp.asarray(base), jnp.asarray(zg)
 
-    cells = culling.cell_index(tables, base)
-    t_k = np.asarray(ray_fans_cull(base, zoffs, d, cells, tables))
-    o = base[:, None, :] + jnp.stack(
-        [jnp.zeros_like(zoffs), jnp.zeros_like(zoffs), zoffs], axis=-1
+    t_k = np.asarray(rc.ray_fans_vs_tris(
+        base, zg, (dx, dy, dz), soup,
+        cells=culling.cell_index(tables, base), tables=tables,
+        zgroups=zgroups,
+    ))
+    zoffs = np.repeat(np.asarray(zg), 8, axis=-1)
+    o = jnp.asarray(base)[:, None, :] + jnp.stack(
+        [jnp.zeros_like(jnp.asarray(zoffs)), jnp.zeros_like(jnp.asarray(zoffs)),
+         jnp.asarray(zoffs)], axis=-1,
     )
-    t_d = np.asarray(rc._ray_vs_tris_dense(o, d, soup))
+    t_d = np.asarray(rc._ray_vs_tris_dense(o, jnp.asarray(d), soup))
     both = np.isfinite(t_k) & np.isfinite(t_d)
     assert (np.isfinite(t_k) == np.isfinite(t_d)).mean() >= 0.995
     rel = np.abs(t_k[both] - t_d[both]) / np.maximum(t_d[both], 1.0)
-    assert rel.max() <= 1e-4
+    assert rel.max() <= 2e-2  # bf16 MXU direction dots in the fan kernel

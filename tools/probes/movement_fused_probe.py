@@ -616,7 +616,7 @@ def _get_move_fused_culled(r: float, K: int, C: int):
                   table):
         """Flat agents [N] + short-table cells [N] + flat [C*K, 41]
         constants -> (pos_after_fall [N, 3], pos_pre_fall [N, 3])."""
-        from .culling import agent_sorted_layout
+        from madrona_mp_env_tpu.ops.culling import agent_sorted_layout
 
         N = xx.shape[0]
         layout = agent_sorted_layout(cells, C, BC)
