@@ -166,11 +166,24 @@ def _use_planar_casts(m: MapData) -> bool:
     vector-form casts."""
     from ..ops import raycast as rc
 
-    return (
-        rc.use_pallas()
-        and not (rc.use_culling() and m.cells is not None)
-        and m.tris.sc_packedT is not None
-    )
+    return rc.use_pallas() and m.tris.sc_packedT is not None
+
+
+def _use_sc_pack(m: MapData) -> bool:
+    """Auto-gate for the packed short-table L2/L3/fall casts
+    (MPENV_SC_PACK: 1 force, 0 off, auto by map size). The packed launch
+    costs a sorted-layout pad + per-block fixed overhead that measured
+    -40% end-to-end on simple_map's 256-tri soup (round 3), but on big
+    maps the dense planar sweep it replaces grows with T while the packed
+    sweep stays at K — the same T >= 4K crossover shape as the sensor-fan
+    gate (ops/raycast.py fan_cull_wins)."""
+    st = getattr(m, "short_mv", None)
+    if st is None:
+        return False
+    mode = os.environ.get("MPENV_SC_PACK", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return m.tris.packed.shape[1] >= 4 * st.K
 
 
 def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
@@ -210,10 +223,7 @@ def apply_velocity_system(cfg: EnvConfig, m: MapData, state: WorldState,
         and os.environ.get("MPENV_SC_CULL", "1") == "1"
     )
 
-    use_pack = (
-        planar and getattr(m, "short_mv", None) is not None
-        and os.environ.get("MPENV_SC_PACK", "0") == "1"
-    )
+    use_pack = planar and _use_sc_pack(m)
 
     if planar:
         from ..ops.raycast import sphere_cast_planar
@@ -465,8 +475,7 @@ def fall_system(cfg: EnvConfig, m: MapData, state: WorldState, cells=None):
         oc = (state.pos[:, 0:1], state.pos[:, 1:2],
               state.pos[:, 2:3] + (r + cast_offset))
         dc = (zz[:, None], zz[:, None], zz[:, None] - 1.0)
-        if (getattr(m, "short_mv", None) is not None
-                and os.environ.get("MPENV_SC_PACK", "0") == "1"):
+        if _use_sc_pack(m):
             # packed culled down cast: xy-bounded by r, exact at any depth
             # against the MOVE_MARGIN tables
             from ..ops.culling import short_cell_index
