@@ -241,9 +241,9 @@ def sphere_cast_planar(o_comps, d_comps, r, soup: TriSoup, t_max=INF,
     jnp sweep. Winner normals via sc_normals_from_idx (so callers
     reconstruct only for the casts that consume them).
 
-    No culled variant yet: the per-cell candidate path still goes through
-    sphere_cast_grouped (culling is opt-in via MPENV_CULL and currently
-    loses to the dense kernels on simple_map-sized candidate sets)."""
+    Pair-count reduction for these casts comes from the short-table
+    (MPENV_SC_CULL) and packed (MPENV_SC_PACK auto-gate) variants in
+    sim/movement.py, not from a culled kernel here."""
     if use_pallas():
         from .raycast_pallas import sphere_cast_planar_pallas
 

@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--cells", type=int, default=16)
     ap.add_argument("--rays-per-cell", type=int, default=60000)
     ap.add_argument("--casts-per-cell", type=int, default=12000)
+    ap.add_argument("--k-max", type=int, default=256,
+                    help="max candidate-set size; open maps (town) need "
+                         "~1.2k — the fan gate still pays at T/K >= 4")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--miss-rate-tol", type=float, default=1e-5,
                     help="max acceptable residual PVS miss rate per query")
@@ -71,6 +74,7 @@ def main():
         cells_per_side=args.cells,
         rays_per_cell=args.rays_per_cell,
         casts_per_cell=args.casts_per_cell,
+        k_max=args.k_max,
         progress=True,
     )
     print(
